@@ -1,0 +1,363 @@
+"""Synthetic wireframe fixtures: parametric solids -> reference-format JSON samples.
+
+The reference's training data comes from OpenCascade HLR projections of ABC
+STEP files (dataset/prepare_data.py). For tests, benchmarks, and CAD-free
+smoke training we generate structurally identical samples from analytic
+solids: every face is an ordered loop of oriented coedges, edges are sorted
+lexicographically and indexed, loops are rolled/sorted canonically, and the
+JSON schema matches dataset/README.md:3-20 exactly:
+
+    { "edges": [...], "edges3d": [...], "shrinked_edges": [...],
+      "faces_indices": [[type, [loop, ...]], ...],
+      "dominant_directions": [x, y, z projected], "pairings": {i: j} }
+
+No hidden-line removal is performed — all faces of the solid are emitted,
+which yields a *harder* (more cluttered) wireframe than true HLR output but
+preserves every topological invariant the models and metrics rely on.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from faceformer_tpu.geometry.enclosedness import is_face_enclosed
+
+PLANE, CYLINDER, OTHER = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# solids: (vertices, faces) where faces = [(type, [loops of oriented edges])]
+# an oriented edge is a 3D polyline (list of 3D points); loops chain
+# end-to-start around the face.
+# ---------------------------------------------------------------------------
+
+
+def make_box(w: float = 1.0, h: float = 1.0, d: float = 1.0):
+    """Axis-aligned box centered at the origin: 6 planar quad faces."""
+    x, y, z = w / 2, h / 2, d / 2
+    v = np.array(
+        [
+            [-x, -y, -z], [x, -y, -z], [x, y, -z], [-x, y, -z],
+            [-x, -y, z], [x, -y, z], [x, y, z], [-x, y, z],
+        ]
+    )
+    quads = [
+        (0, 3, 2, 1),  # bottom (z-)
+        (4, 5, 6, 7),  # top (z+)
+        (0, 1, 5, 4),  # front (y-)
+        (2, 3, 7, 6),  # back (y+)
+        (1, 2, 6, 5),  # right (x+)
+        (3, 0, 4, 7),  # left (x-)
+    ]
+    faces = [(PLANE, [_polygon_loop(v, q)]) for q in quads]
+    return faces
+
+
+def make_prism(n_sides: int = 6, radius: float = 0.8, height: float = 1.0):
+    """Regular n-gon prism: 2 cap planes + n side planes."""
+    theta = 2 * np.pi * np.arange(n_sides) / n_sides
+    bottom = np.stack([radius * np.cos(theta), radius * np.sin(theta), -height / 2 * np.ones(n_sides)], axis=1)
+    top = bottom + np.array([0.0, 0.0, height])
+    faces = [
+        (PLANE, [_ring_loop(bottom[::-1])]),
+        (PLANE, [_ring_loop(top)]),
+    ]
+    for i in range(n_sides):
+        j = (i + 1) % n_sides
+        quad = np.array([bottom[i], bottom[j], top[j], top[i]])
+        faces.append((PLANE, [_ring_loop(quad)]))
+    return faces
+
+
+def make_lblock(a: float = 1.0, b: float = 1.0, cut: float = 0.45, height: float = 0.8):
+    """L-shaped extrusion: 8 planar faces (6-gon caps + 6 sides)."""
+    poly = np.array(
+        [
+            [0, 0], [a, 0], [a, b - cut], [a - cut, b - cut], [a - cut, b], [0, b]
+        ],
+        dtype=float,
+    )
+    poly -= poly.mean(axis=0)
+    bottom = np.concatenate([poly, np.full((6, 1), -height / 2)], axis=1)
+    top = np.concatenate([poly, np.full((6, 1), height / 2)], axis=1)
+    faces = [
+        (PLANE, [_ring_loop(bottom[::-1])]),
+        (PLANE, [_ring_loop(top)]),
+    ]
+    for i in range(6):
+        j = (i + 1) % 6
+        quad = np.array([bottom[i], bottom[j], top[j], top[i]])
+        faces.append((PLANE, [_ring_loop(quad)]))
+    return faces
+
+
+def make_cylinder(radius: float = 0.6, height: float = 1.2, n_arc: int = 17,
+                  split_axis: float = 0.0):
+    """Cylinder split by two vertical outlines into the reference's canonical
+    topology: 2 half-cylinder side faces (type 1, each bounded by 2 straight
+    outlines + 2 arcs) and 2 planar caps (each bounded by 2 arcs). This is the
+    structure the wireframe reconstructor expects
+    (reconstruction/reconstruct_to_wireframe.py:44-143)."""
+    z0, z1 = -height / 2, height / 2
+    phi = split_axis
+
+    def arc(z: float, start: float, reverse: bool = False) -> np.ndarray:
+        t = np.linspace(start, start + np.pi, n_arc)
+        pts = np.stack([radius * np.cos(t), radius * np.sin(t), np.full(n_arc, z)], axis=1)
+        return pts[::-1] if reverse else pts
+
+    # outline endpoints at angles phi and phi+pi
+    p_a0 = np.array([radius * np.cos(phi), radius * np.sin(phi), z0])
+    p_a1 = np.array([radius * np.cos(phi), radius * np.sin(phi), z1])
+    p_b0 = np.array([radius * np.cos(phi + np.pi), radius * np.sin(phi + np.pi), z0])
+    p_b1 = np.array([radius * np.cos(phi + np.pi), radius * np.sin(phi + np.pi), z1])
+
+    line_a_up = np.stack([p_a0, p_a1])      # outline at phi, upward
+    line_b_down = np.stack([p_b1, p_b0])    # outline at phi+pi, downward
+
+    arc_top_1 = arc(z1, phi)                # phi -> phi+pi on top cap
+    arc_top_2 = arc(z1, phi + np.pi)        # phi+pi -> phi on top cap
+    arc_bot_1 = arc(z0, phi)
+    arc_bot_2 = arc(z0, phi + np.pi)
+
+    # half-cylinder side 1: up outline a, top arc 1, down outline b, bottom arc 2 reversed
+    side1 = [line_a_up, arc_top_1, line_b_down, arc_bot_1[::-1]]
+    # half-cylinder side 2: up outline b, top arc 2, down outline a, bottom arc 1 reversed
+    side2 = [line_b_down[::-1], arc_top_2, line_a_up[::-1], arc_bot_2[::-1]]
+    # caps traverse each arc opposite to the side faces' copies so every
+    # undirected edge appears exactly twice, once per direction (coherent
+    # coedge orientation, as OCC wire exploration produces)
+    cap_top = [arc_top_2[::-1], arc_top_1[::-1]]
+    cap_bot = [arc_bot_1, arc_bot_2]
+
+    return [
+        (CYLINDER, [side1]),
+        (CYLINDER, [side2]),
+        (PLANE, [cap_top]),
+        (PLANE, [cap_bot]),
+    ]
+
+
+def _polygon_loop(vertices: np.ndarray, ring: Sequence[int]) -> List[np.ndarray]:
+    return [np.stack([vertices[ring[i]], vertices[ring[(i + 1) % len(ring)]]]) for i in range(len(ring))]
+
+
+def _ring_loop(points: np.ndarray) -> List[np.ndarray]:
+    n = len(points)
+    return [np.stack([points[i], points[(i + 1) % n]]) for i in range(n)]
+
+
+SOLID_BUILDERS = {
+    "box": make_box,
+    "prism": make_prism,
+    "lblock": make_lblock,
+    "cylinder": make_cylinder,
+}
+
+
+# ---------------------------------------------------------------------------
+# camera + projection
+# ---------------------------------------------------------------------------
+
+
+def camera_basis(theta_deg: float, phi_deg: float) -> np.ndarray:
+    """Orthonormal (right, up, forward) rows for a camera looking at the
+    origin from spherical angles (reference camera convention:
+    dataset/utils/projection_utils.py:13-45)."""
+    theta, phi = np.deg2rad(theta_deg), np.deg2rad(phi_deg)
+    forward = -np.array(
+        [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)]
+    )
+    world_up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(forward, world_up)
+    nr = np.linalg.norm(right)
+    if nr < 1e-9:  # looking straight down/up
+        right = np.array([1.0, 0.0, 0.0])
+    else:
+        right = right / nr
+    up = np.cross(right, forward)
+    return np.stack([right, up, forward])
+
+
+def project_polyline(pts: np.ndarray, basis: np.ndarray, focus: float = 0.0,
+                     cam_dist: float = 4.0) -> np.ndarray:
+    """Project 3D points into camera space (x, y, depth). focus == 0 means
+    orthographic (reference: projection_utils.py:67-70); otherwise a simple
+    perspective divide with the camera ``cam_dist`` away from the origin."""
+    cam = pts @ basis.T  # rows: right/up/forward components
+    if focus == 0.0:
+        return cam
+    depth = cam_dist + cam[:, 2]
+    scale = focus / np.maximum(depth, 1e-6)
+    return np.stack([cam[:, 0] * scale, cam[:, 1] * scale, cam[:, 2]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# canonical sample assembly (mirrors dataset/prepare_data.py:49-181 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _comp_points(p1, p2) -> float:
+    return (p1[1] - p2[1]) if p1[0] == p2[0] else (p1[0] - p2[0])
+
+
+def _comp_edges(e1: List[List[float]], e2: List[List[float]]) -> float:
+    for a, b in zip(e1, e2):
+        diff = _comp_points(a, b)
+        if diff != 0:
+            return diff
+    return 0.0
+
+
+def build_sample(
+    faces: Sequence[Tuple[int, List[List[np.ndarray]]]],
+    theta: float = 30.0,
+    phi: float = 35.0,
+    focus: float = 0.0,
+    coedge: bool = True,
+    no_face_type: bool = False,
+    tol: float = 2e-4,
+    round_decimals: int = 8,
+) -> Dict:
+    """Assemble one reference-format JSON sample from analytic faces.
+
+    coedge=True emits each undirected edge once per face traversal (two
+    directions), matching the `ours`/`seq2seq+coedge` data flavors; False
+    combines coedges into one canonical-direction edge per undirected edge
+    (the `--combine_coedge` flavor, prepare_data.py:104-111,145-147).
+    """
+    basis = camera_basis(theta, phi)
+    scale = _normalization_scale(faces)
+
+    # project every oriented edge of every face loop
+    projected_faces = []  # [(type, [[(edge2d, edge3d), ...] per loop])]
+    for ftype, loops in faces:
+        ploops = []
+        for loop in loops:
+            pedges = []
+            for seg in loop:
+                cam = project_polyline(np.asarray(seg, dtype=float) * scale, basis, focus)
+                edge2d = [[round(float(x), round_decimals), round(float(y), round_decimals)] for x, y, _ in cam]
+                edge3d = [[round(float(c), round_decimals) for c in p] for p in cam]
+                pedges.append((edge2d, edge3d))
+            ploops.append(pedges)
+        projected_faces.append((ftype, ploops))
+
+    # collect unique directed (coedge) or undirected (combined) edges
+    records: List[Dict] = []  # {points, points3d}
+    key_to_record: Dict[tuple, int] = {}
+
+    def intern_edge(edge2d, edge3d) -> int:
+        key = tuple(map(tuple, edge2d))
+        if key in key_to_record:
+            return key_to_record[key]
+        records.append({"points": edge2d, "points3d": edge3d})
+        key_to_record[key] = len(records) - 1
+        return key_to_record[key]
+
+    face_records: List[Tuple[int, List[List[int]]]] = []
+    for ftype, ploops in projected_faces:
+        loops_rec = []
+        for pedges in ploops:
+            if coedge:
+                loops_rec.append([intern_edge(e2, e3) for e2, e3 in pedges])
+            else:
+                canon = []
+                for e2, e3 in pedges:
+                    if _comp_points(e2[0], e2[-1]) > 0:
+                        e2, e3 = e2[::-1], e3[::-1]
+                    canon.append(intern_edge(e2, e3))
+                loops_rec.append(canon)
+        face_records.append((ftype, loops_rec))
+
+    # sort edges lexicographically and reindex (prepare_data.py:128-133)
+    order = sorted(range(len(records)), key=functools.cmp_to_key(
+        lambda i, j: _comp_edges(records[i]["points"], records[j]["points"])))
+    remap = {old: new for new, old in enumerate(order)}
+    edges = [records[i]["points"] for i in order]
+    edges3d = [records[i]["points3d"] for i in order]
+    face_records = [
+        (ftype, [[remap[i] for i in loop] for loop in loops])
+        for ftype, loops in face_records
+    ]
+
+    # canonicalize loops via the enclosedness walk (prepare_data.py:150-168)
+    faces_indices = []
+    for ftype, loops in face_records:
+        flat = [i for loop in loops for i in loop]
+        if coedge:
+            found = is_face_enclosed(edges, flat, tol)
+            if not found:
+                raise AssertionError("fixture face not enclosed — degenerate view")
+            rolled = [
+                np.roll(lp, -int(np.argmin(lp)), axis=0).tolist() for lp in found
+            ]
+            rolled = sorted(rolled, key=lambda lp: lp[0])
+            faces_indices.append(rolled if no_face_type else [int(ftype), rolled])
+        else:
+            faces_indices.append(sorted(flat))
+
+    if coedge:
+        key = (lambda f: f[0][0]) if no_face_type else (lambda f: f[1][0][0])
+        faces_indices = sorted(faces_indices, key=key)
+    else:
+        faces_indices = sorted(faces_indices)
+
+    # pairings: lower coedge index -> its reversed twin (prepare_data.py:258-263)
+    pairings = {}
+    for i in range(len(edges)):
+        for j in range(i + 1, len(edges)):
+            if edges[i] == edges[j][::-1]:
+                pairings[str(i)] = j
+
+    dominant_directions = [
+        project_polyline(np.array([[0.0, 0, 0], [1.0 if k == 0 else 0.0, 1.0 if k == 1 else 0.0, 1.0 if k == 2 else 0.0]]), basis, focus)
+        for k in range(3)
+    ]
+    dominant_directions = [
+        (d[1] - d[0]).tolist() for d in dominant_directions
+    ]
+
+    return {
+        "edges": edges,
+        "edges3d": edges3d,
+        "shrinked_edges": edges,  # viz-only field; fixtures reuse the edges
+        "faces_indices": faces_indices,
+        "dominant_directions": dominant_directions,
+        "pairings": pairings,
+    }
+
+
+def _normalization_scale(faces) -> float:
+    """Scale so the bbox diagonal is 2, like prepare_data.py:294-300."""
+    pts = np.concatenate([np.asarray(seg) for _, loops in faces for loop in loops for seg in loop])
+    extent = pts.max(axis=0) - pts.min(axis=0)
+    return 2.0 / float(np.linalg.norm(extent))
+
+
+def random_sample(rng: np.random.Generator, coedge: bool = True,
+                  no_face_type: bool = False, focus: float = 0.0,
+                  max_tries: int = 8) -> Dict:
+    """One random solid under a random camera; retries degenerate views
+    (reference retries random cameras 5x, prepare_data.py:303-319)."""
+    for _ in range(max_tries):
+        kind = rng.choice(list(SOLID_BUILDERS))
+        if kind == "box":
+            faces = make_box(*rng.uniform(0.5, 1.5, size=3))
+        elif kind == "prism":
+            faces = make_prism(int(rng.integers(3, 8)), rng.uniform(0.4, 1.0), rng.uniform(0.5, 1.5))
+        elif kind == "lblock":
+            faces = make_lblock(rng.uniform(0.8, 1.4), rng.uniform(0.8, 1.4), rng.uniform(0.25, 0.55), rng.uniform(0.5, 1.2))
+        else:
+            faces = make_cylinder(rng.uniform(0.3, 0.8), rng.uniform(0.6, 1.6), split_axis=rng.uniform(0, np.pi))
+        theta = float(rng.uniform(0, 360))
+        phi = float(rng.uniform(22.5, 67.5))
+        try:
+            return build_sample(faces, theta=theta, phi=phi, focus=focus,
+                                coedge=coedge, no_face_type=no_face_type)
+        except AssertionError:
+            continue
+    raise RuntimeError("could not generate a non-degenerate fixture")

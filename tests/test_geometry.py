@@ -1,0 +1,183 @@
+"""Property tests for the geometry bedrock: enclosedness, loops, circles,
+sampling, and fixture invariants."""
+
+import numpy as np
+import pytest
+
+from faceformer_tpu.geometry import (
+    assemble_cycles,
+    assemble_cylinder_cycle,
+    canonicalize_loops,
+    circle_through_points,
+    fit_arc_through_points,
+    is_face_enclosed,
+    resample_edge,
+    resample_edge_batch,
+)
+from faceformer_tpu.geometry.fixtures import (
+    SOLID_BUILDERS,
+    build_sample,
+    make_box,
+    make_cylinder,
+    random_sample,
+)
+
+SQUARE_EDGES = [
+    [[0.0, 0.0], [1.0, 0.0]],
+    [[1.0, 0.0], [1.0, 1.0]],
+    [[1.0, 1.0], [0.0, 1.0]],
+    [[0.0, 1.0], [0.0, 0.0]],
+]
+
+
+class TestSampling:
+    def test_line_lerp(self):
+        pts = resample_edge([[0.0, 0.0], [1.0, 2.0]], 5)
+        assert pts.shape == (5, 2)
+        np.testing.assert_allclose(pts[2], [0.5, 1.0])
+        np.testing.assert_allclose(pts[-1], [1.0, 2.0])
+
+    def test_curve_index_subsample(self):
+        curve = [[float(i), 0.0] for i in range(10)]
+        pts = resample_edge(curve, 4)
+        # reference semantics: rounded index subsampling, not interpolation
+        np.testing.assert_allclose(pts[:, 0], [0.0, 3.0, 6.0, 9.0])
+
+    def test_batch_padding(self):
+        out = resample_edge_batch(SQUARE_EDGES, num_lines=6, num_samples=4)
+        assert out.shape == (6, 4, 2)
+        assert np.all(out[4:] == 0)
+
+
+class TestEnclosedness:
+    def test_square_is_one_loop(self):
+        loops = is_face_enclosed(SQUARE_EDGES, [0, 1, 2, 3], 1e-6)
+        assert loops == [[0, 1, 2, 3]]
+
+    def test_broken_chain_fails(self):
+        assert is_face_enclosed(SQUARE_EDGES, [0, 2, 1, 3], 1e-6) is False
+
+    def test_unclosed_tail_fails(self):
+        assert is_face_enclosed(SQUARE_EDGES, [0, 1, 2], 1e-6) is False
+
+    def test_two_loops(self):
+        edges = SQUARE_EDGES + [
+            [[2.0, 2.0], [3.0, 2.0]],
+            [[3.0, 2.0], [2.0, 2.0]],
+        ]
+        loops = is_face_enclosed(edges, [0, 1, 2, 3, 4, 5], 1e-6)
+        assert loops == [[0, 1, 2, 3], [4, 5]]
+
+    def test_out_of_range_index_skipped(self):
+        loops = is_face_enclosed(SQUARE_EDGES, [0, 1, 99, 2, 3], 1e-6)
+        assert loops == [[0, 1, 2, 3]]
+
+    def test_oriented_pairs(self):
+        # traverse the square with edges 1 and 3 reversed: breaks the chain
+        assert is_face_enclosed(SQUARE_EDGES, [(0, 0), (1, 1), (2, 0), (3, 1)], 1e-6) is False
+        loops = is_face_enclosed(SQUARE_EDGES, [(0, 0), (1, 0), (2, 0), (3, 0)], 1e-6)
+        assert loops == [[(0, 0), (1, 0), (2, 0), (3, 0)]]
+
+
+class TestLoops:
+    def test_canonicalize(self):
+        loops = canonicalize_loops([[5, 7, 2], [9, 1]])
+        assert loops == ((1, 9), (2, 5, 7))
+
+    def test_assemble_cycles_square(self):
+        shuffled = [SQUARE_EDGES[2], SQUARE_EDGES[0], SQUARE_EDGES[3][::-1], SQUARE_EDGES[1]]
+        cycles, inds, dirs = assemble_cycles(shuffled, [10, 11, 12, 13])
+        assert len(cycles) == 1
+        assert sorted(inds[0]) == [10, 11, 12, 13]
+        # walked cycle must chain end-to-start
+        cyc = cycles[0]
+        for a, b in zip(cyc, cyc[1:] + cyc[:1]):
+            assert np.allclose(a[-1], b[0], atol=1e-9)
+
+    def test_assemble_cylinder_cycle(self):
+        arc1 = [[0.0, 0.0], [0.5, 0.3], [1.0, 0.0]]
+        line1 = [[1.0, 0.0], [1.0, -1.0]]
+        arc2 = [[1.0, -1.0], [0.5, -1.3], [0.0, -1.0]]
+        line2 = [[0.0, -1.0], [0.0, 0.0]]
+        cycle, inds, dirs = assemble_cylinder_cycle(
+            [arc2, line1, arc1, line2], [0, 1, 2, 3]
+        )
+        assert len(cycle) == 4
+        assert sorted(inds) == [0, 1, 2, 3]
+
+
+class TestCircles:
+    def test_circumcircle(self):
+        center, radius, normal = circle_through_points(
+            [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]
+        )
+        np.testing.assert_allclose(center, [0, 0, 0], atol=1e-12)
+        assert radius == pytest.approx(1.0)
+        np.testing.assert_allclose(np.abs(normal), [0, 0, 1], atol=1e-12)
+
+    def test_arc_passes_through_midpoint(self):
+        p1, p2, p3 = np.array([1.0, 0, 0]), np.array([-1.0, 0, 0]), np.array([0, 1.0, 0])
+        arc = fit_arc_through_points(p1, p2, p3, deflection=1e-4)
+        d_end1 = min(np.linalg.norm(arc[0] - p1), np.linalg.norm(arc[-1] - p1))
+        d_end2 = min(np.linalg.norm(arc[0] - p2), np.linalg.norm(arc[-1] - p2))
+        d_mid = np.min(np.linalg.norm(arc - p3, axis=1))
+        assert max(d_end1, d_end2, d_mid) < 0.05
+        # all points on the unit circle
+        np.testing.assert_allclose(np.linalg.norm(arc, axis=1), 1.0, atol=1e-6)
+
+
+class TestFixtures:
+    @pytest.mark.parametrize("kind", sorted(SOLID_BUILDERS))
+    def test_faces_enclosed(self, kind):
+        sample = build_sample(SOLID_BUILDERS[kind](), theta=33.0, phi=41.0)
+        assert len(sample["edges"]) > 0
+        for ftype, loops in sample["faces_indices"]:
+            found = is_face_enclosed(sample["edges"], [i for lp in loops for i in lp], 2e-4)
+            assert found, f"{kind} face not enclosed"
+
+    @pytest.mark.parametrize("kind", sorted(SOLID_BUILDERS))
+    def test_coedge_coherence(self, kind):
+        """Every undirected edge appears exactly twice, in opposite directions."""
+        sample = build_sample(SOLID_BUILDERS[kind](), theta=70.0, phi=30.0)
+        edges = sample["edges"]
+        pairings = sample["pairings"]
+        # pairings must cover every edge exactly once as lower or upper twin
+        paired = set()
+        for i_str, j in pairings.items():
+            i = int(i_str)
+            assert edges[i] == edges[j][::-1]
+            paired.add(i)
+            paired.add(j)
+        assert paired == set(range(len(edges)))
+
+    def test_canonical_ordering(self):
+        sample = build_sample(make_box(), theta=25.0, phi=45.0)
+        # edges sorted lexicographically by their point sequences
+        for e1, e2 in zip(sample["edges"], sample["edges"][1:]):
+            assert e1 <= e2
+        # faces sorted by first loop's first index; loops rolled to min-first
+        firsts = [loops[0][0] for _, loops in sample["faces_indices"]]
+        assert firsts == sorted(firsts)
+        for _, loops in sample["faces_indices"]:
+            for loop in loops:
+                assert loop[0] == min(loop)
+
+    def test_cylinder_face_types(self):
+        sample = build_sample(make_cylinder(), theta=25.0, phi=40.0)
+        types = sorted(t for t, _ in sample["faces_indices"])
+        assert types == [0, 0, 1, 1]
+
+    def test_random_samples(self, rng):
+        for _ in range(5):
+            sample = random_sample(rng)
+            assert len(sample["edges"]) <= 64
+            assert len(sample["dominant_directions"]) == 3
+            assert all(len(d) == 3 for d in sample["dominant_directions"])
+
+    def test_combined_coedge_mode(self):
+        sample = build_sample(make_box(), theta=25.0, phi=45.0, coedge=False)
+        # combined mode: 12 undirected edges, faces are flat sorted lists
+        assert len(sample["edges"]) == 12
+        assert sample["pairings"] == {}
+        for face in sample["faces_indices"]:
+            assert face == sorted(face)
