@@ -1,0 +1,333 @@
+"""Greedy decode engines: fixed-shape, fully on-device, zero host round-trips.
+
+The reference decodes by re-running the whole decoder on the growing prefix
+every step, with `.item()` / host-side break logic in the loop
+(reference: models/model.py:193-210, model_para.py:216-233) — the top-ranked
+hot loop. Both engines here run as a single jitted lax.while_loop over
+preallocated token buffers with on-device stop predicates.
+
+Two modes:
+
+  - "reference": re-runs the decoder over the full padded buffer each step
+    with a prefix key-padding mask and NO causal mask. This reproduces the
+    reference eval bit-for-bit logic: the reference omits tgt_mask at eval
+    (model.py:199-201), so earlier tokens' features are recomputed
+    bidirectionally over the current prefix each step. Required for
+    checkpoint-parity ("identical predictions").
+
+  - "causal_cache": incremental decode with per-layer KV caches (self-attn
+    keys/values appended per step; cross-attn keys/values precomputed once
+    from memory). Matches the model's *training* semantics (causal mask) and
+    is the fast path: O(T) instead of O(T^2) decoder work.
+
+Stop predicates (replicated exactly):
+  - single-sequence: a running count of EOS emissions; stop when the count
+    EQUALS the batch size (reference model.py:205-210 — note a finished row
+    that re-emits EOS still increments the count; behavior is the spec).
+  - parallel: stop when every row's next token is a special/type token
+    (< token.length; reference model_para.py:231-233).
+
+Anchor quirk (replicated): eval anchors are arange(L) WITHOUT the +4 token
+offset (reference model_para.py:201), so anchor row j starts from memory row
+j — rows 0-3 start at special-token rows and the last 4 edges get no anchor.
+Parsing drops the resulting junk faces, so metrics are unaffected, but the
+raw grids match the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from faceformer_tpu.config import ModelConfig
+from faceformer_tpu.models import layers as L
+from faceformer_tpu.models.common import (
+    compute_dtype,
+    encode,
+    gather_memory_rows,
+    masked_argmax,
+)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _decoder_kwargs(cfg: ModelConfig) -> Dict[str, Any]:
+    return dict(
+        num_head=cfg.num_head,
+        dropout_rate=0.0,
+        activation=cfg.activation,
+        normalize_before=cfg.normalize_before,
+        rng=None,
+    )
+
+
+def _stacked_linear(w: jnp.ndarray, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-layer-stacked weights (Lyr, E, E) to (N, S, E) -> (Lyr, N, S, E)."""
+    out = jnp.einsum("nse,leo->lnso", x, w.astype(x.dtype))
+    return out + b.astype(x.dtype)[:, None, None, :]
+
+
+def _cross_kv(params: Params, memory: jnp.ndarray, pos: jnp.ndarray, num_head: int):
+    """Precompute cross-attention K/V for every decoder layer at once:
+    K projects (memory + pos), V projects raw memory (DETR convention)."""
+    ca = params["decoder"]["layers"]["cross_attn"]
+    k = _stacked_linear(ca["wk"], ca["bk"], memory + pos)
+    v = _stacked_linear(ca["wv"], ca["bv"], memory)
+    lyr, n, s, e = k.shape
+    k = k.reshape(lyr, n, s, num_head, e // num_head)
+    v = v.reshape(lyr, n, s, num_head, e // num_head)
+    return k, v
+
+
+def _attend(q, k, v, key_padding_mask, num_head):
+    """One-query attention: q (..., 1, H, hd), k/v (..., S, H, hd)."""
+    head_dim = q.shape[-1]
+    scores = jnp.einsum("...qhd,...khd->...hqk", q * head_dim ** -0.5, k,
+                        preferred_element_type=jnp.float32)
+    if key_padding_mask is not None:
+        scores = jnp.where(key_padding_mask[..., None, None, :],
+                           L.big_neg(scores.dtype), scores)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", probs, v)
+
+
+def _incremental_decoder_step(
+    params: Params,
+    cfg: ModelConfig,
+    x: jnp.ndarray,  # (..., 1, E) current-position decoder input
+    qpos_t: jnp.ndarray,  # (1, E) learned query position for this step
+    step: jnp.ndarray,
+    self_k: jnp.ndarray,  # (Lyr, ..., T, H, hd) caches
+    self_v: jnp.ndarray,
+    cross_k: jnp.ndarray,  # (Lyr, ..., S, H, hd)
+    cross_v: jnp.ndarray,
+    mem_padding: jnp.ndarray,  # (..., S) broadcastable key padding
+    t_max: int,
+):
+    """Run one token through all decoder layers, appending to the KV caches.
+
+    Pre-LN only (the shipped models all use normalize_before=True,
+    model.py:16). Returns (decoder output (..., 1, E), updated caches).
+    """
+    num_head = cfg.num_head
+    head_dim = cfg.num_model // num_head
+    n_layers = self_k.shape[0]
+    # positions beyond the current step are unwritten cache slots
+    self_padding = jnp.arange(t_max) > step  # (T,)
+    lp = params["decoder"]["layers"]
+
+    def body(carry, idx):
+        x, sk, sv = carry
+        p = jax.tree.map(lambda a: a[idx], lp)
+
+        t2 = L.layer_norm(p["norm1"], x)
+        qk_in = t2 + qpos_t
+        sa = p["self_attn"]
+        q = (qk_in @ sa["wq"].astype(x.dtype) + sa["bq"].astype(x.dtype))
+        k_t = (qk_in @ sa["wk"].astype(x.dtype) + sa["bk"].astype(x.dtype))
+        v_t = (t2 @ sa["wv"].astype(x.dtype) + sa["bv"].astype(x.dtype))
+        q = q.reshape(*q.shape[:-1], num_head, head_dim)
+        k_t = k_t.reshape(*k_t.shape[:-1], num_head, head_dim)
+        v_t = v_t.reshape(*v_t.shape[:-1], num_head, head_dim)
+        # write this step's K/V into the caches (T axis is 3rd from the end)
+        t_axis = sk.ndim - 1 - 3
+        sk = jax.lax.dynamic_update_index_in_dim(
+            sk, jax.lax.dynamic_update_index_in_dim(sk[idx], k_t[..., 0, :, :], step, t_axis), idx, 0)
+        sv = jax.lax.dynamic_update_index_in_dim(
+            sv, jax.lax.dynamic_update_index_in_dim(sv[idx], v_t[..., 0, :, :], step, t_axis), idx, 0)
+        attn = _attend(q, sk[idx], sv[idx], self_padding, num_head)
+        attn = attn.reshape(*attn.shape[:-2], -1)
+        x = x + (attn @ sa["wo"].astype(x.dtype) + sa["bo"].astype(x.dtype))
+
+        t2 = L.layer_norm(p["norm2"], x)
+        ca = p["cross_attn"]
+        q2 = ((t2 + qpos_t) @ ca["wq"].astype(x.dtype) + ca["bq"].astype(x.dtype))
+        q2 = q2.reshape(*q2.shape[:-1], num_head, head_dim)
+        attn = _attend(q2, cross_k[idx], cross_v[idx], mem_padding, num_head)
+        attn = attn.reshape(*attn.shape[:-2], -1)
+        x = x + (attn @ ca["wo"].astype(x.dtype) + ca["bo"].astype(x.dtype))
+
+        t2 = L.layer_norm(p["norm3"], x)
+        act = L.activation_fn(cfg.activation)
+        h = act(L.linear(p["ffn"]["lin1"], t2))
+        x = x + L.linear(p["ffn"]["lin2"], h)
+        return (x, sk, sv), None
+
+    (x, self_k, self_v), _ = jax.lax.scan(
+        body, (x, self_k, self_v), jnp.arange(n_layers))
+    x = L.layer_norm(params["decoder"]["norm"], x)
+    return x, self_k, self_v
+
+
+# ---------------------------------------------------------------------------
+# single-sequence model
+# ---------------------------------------------------------------------------
+
+
+def greedy_decode_single(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    precision: str = "fp32",
+    mode: str = "reference",
+) -> Dict[str, jnp.ndarray]:
+    """Flat-sequence greedy decode (reference: model.py:169-219)."""
+    dtype = compute_dtype(precision)
+    tok = cfg.token
+    memory, pos, padded_mask = encode(
+        params, cfg, batch["input"], batch["input_mask"], None, dtype)
+    n = memory.shape[0]
+    t_max = cfg.label_seq_length
+    query_pos = params["query_pos_table"].astype(dtype)  # (T, E)
+
+    tokens0 = jnp.full((n, t_max), tok.PAD, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok.SOS)
+
+    def cond(state):
+        step, _, eos_count = state[0], state[1], state[2]
+        return jnp.logical_and(step < t_max - 1, eos_count != n)
+
+    if mode == "reference":
+
+        def body(state):
+            step, tokens, eos_count = state
+            tgt = gather_memory_rows(memory, tokens)  # (N, T, E)
+            prefix_pad = jnp.arange(t_max)[None, :] > step  # (1, T)
+            out = L.decoder_forward(
+                params["decoder"], tgt, memory, query_pos[None], pos,
+                tgt_mask=None, tgt_key_padding_mask=prefix_pad,
+                memory_key_padding_mask=padded_mask, **_decoder_kwargs(cfg))
+            out_t = jax.lax.dynamic_index_in_dim(out, step, axis=1, keepdims=False)
+            pointer_t = L.linear(params["project"], out_t)  # (N, E)
+            nxt = masked_argmax(memory, pointer_t, padded_mask)  # (N,)
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 1)
+            eos_count = eos_count + (nxt == tok.EOS).sum().astype(jnp.int32)
+            return step + jnp.int32(1), tokens, eos_count
+
+        state0 = (jnp.int32(0), tokens0, jnp.int32(0))
+        step, tokens, _ = jax.lax.while_loop(cond, body, state0)
+        return {"predict": tokens}
+
+    # causal_cache mode
+    head_dim = cfg.num_model // cfg.num_head
+    n_layers = cfg.num_decoder_layers
+    cross_k, cross_v = _cross_kv(params, memory, pos, cfg.num_head)
+    cache_shape = (n_layers, n, t_max, cfg.num_head, head_dim)
+    sk0 = jnp.zeros(cache_shape, dtype)
+    sv0 = jnp.zeros(cache_shape, dtype)
+
+    def body(state):
+        step, tokens, eos_count, sk, sv = state
+        cur = jax.lax.dynamic_index_in_dim(tokens, step, axis=1, keepdims=True)  # (N,1)
+        x = gather_memory_rows(memory, cur)  # (N, 1, E)
+        qpos_t = jax.lax.dynamic_index_in_dim(query_pos, step, 0, keepdims=True)
+        out, sk, sv = _incremental_decoder_step(
+            params, cfg, x, qpos_t, step, sk, sv, cross_k, cross_v,
+            padded_mask, t_max)
+        pointer_t = L.linear(params["project"], out[:, 0])
+        nxt = masked_argmax(memory, pointer_t, padded_mask)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 1)
+        eos_count = eos_count + (nxt == tok.EOS).sum().astype(jnp.int32)
+        return step + jnp.int32(1), tokens, eos_count, sk, sv
+
+    state = (jnp.int32(0), tokens0, jnp.int32(0), sk0, sv0)
+    step, tokens, *_ = jax.lax.while_loop(cond, body, state)
+    return {"predict": tokens}
+
+
+# ---------------------------------------------------------------------------
+# parallel (per-edge-anchor) model
+# ---------------------------------------------------------------------------
+
+
+def greedy_decode_parallel(
+    params: Params,
+    cfg: ModelConfig,
+    batch: Dict[str, jnp.ndarray],
+    precision: str = "fp32",
+    mode: str = "reference",
+) -> Dict[str, jnp.ndarray]:
+    """Anchor-parallel greedy decode (reference: model_para.py:181-241).
+
+    Returns predict (N, F, T) with F = num_lines (static; see parallel.py's
+    static-shape note)."""
+    dtype = compute_dtype(precision)
+    tok = cfg.token
+    memory, pos, padded_mask = encode(
+        params, cfg, batch["input"], batch["input_mask"], None, dtype)
+    n = memory.shape[0]
+    f = cfg.num_lines
+    t_max = cfg.max_face_length
+    query_pos = params["query_pos_table"].astype(dtype)
+
+    # anchors: every edge index, NO +4 offset (reference model_para.py:201);
+    # rows past the sample's real edge count start at the Other/EOS token
+    # (model_para.py:204-205)
+    num_input = batch["num_input"].astype(jnp.int32)  # (N,)
+    anchor_ids = jnp.arange(f, dtype=jnp.int32)[None, :]  # (1, F)
+    anchors = jnp.where(anchor_ids < num_input[:, None], anchor_ids, tok.length - 1)
+
+    tokens0 = jnp.full((n, f, t_max), tok.PAD, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(anchors)
+
+    mem_b = memory[:, None]  # (N, 1, S, E)
+    pos_b = pos[:, None]
+    mem_pad_b = padded_mask[:, None]  # (N, 1, S)
+
+    def cond(state):
+        step, _, all_special = state[0], state[1], state[2]
+        return jnp.logical_and(step < t_max - 1, jnp.logical_not(all_special))
+
+    if mode == "reference":
+
+        def body(state):
+            step, tokens, _ = state
+            tgt = gather_memory_rows(memory, tokens)  # (N, F, T, E)
+            prefix_pad = jnp.arange(t_max)[None, None, :] > step  # (1, 1, T)
+            out = L.decoder_forward(
+                params["decoder"], tgt, mem_b, query_pos[None, None], pos_b,
+                tgt_mask=None, tgt_key_padding_mask=prefix_pad,
+                memory_key_padding_mask=mem_pad_b, **_decoder_kwargs(cfg))
+            out_t = jax.lax.dynamic_index_in_dim(out, step, axis=2, keepdims=False)
+            pointer_t = L.linear(params["project"], out_t)  # (N, F, E)
+            nxt = masked_argmax(memory, pointer_t, padded_mask)  # (N, F)
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 2)
+            return step + jnp.int32(1), tokens, jnp.all(nxt < tok.length)
+
+        state0 = (jnp.int32(0), tokens0, jnp.array(False))
+        step, tokens, _ = jax.lax.while_loop(cond, body, state0)
+        return {"predict": tokens}
+
+    # causal_cache mode
+    head_dim = cfg.num_model // cfg.num_head
+    n_layers = cfg.num_decoder_layers
+    cross_k, cross_v = _cross_kv(params, memory, pos, cfg.num_head)
+    # add the broadcast anchor axis to cross K/V and memory padding
+    cross_k, cross_v = cross_k[:, :, None], cross_v[:, :, None]  # (Lyr, N, 1, S, H, hd)
+    cache_shape = (n_layers, n, f, t_max, cfg.num_head, head_dim)
+    sk0 = jnp.zeros(cache_shape, dtype)
+    sv0 = jnp.zeros(cache_shape, dtype)
+
+    def body(state):
+        step, tokens, _, sk, sv = state
+        cur = jax.lax.dynamic_index_in_dim(tokens, step, axis=2, keepdims=True)  # (N,F,1)
+        x = gather_memory_rows(memory, cur)  # (N, F, 1, E)
+        qpos_t = jax.lax.dynamic_index_in_dim(query_pos, step, 0, keepdims=True)
+        out, sk, sv = _incremental_decoder_step(
+            params, cfg, x, qpos_t, step, sk, sv, cross_k, cross_v,
+            mem_pad_b, t_max)
+        pointer_t = L.linear(params["project"], out[:, :, 0])  # (N, F, E)
+        nxt = masked_argmax(memory, pointer_t, padded_mask)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 2)
+        return step + jnp.int32(1), tokens, jnp.all(nxt < tok.length), sk, sv
+
+    state = (jnp.int32(0), tokens0, jnp.array(False), sk0, sv0)
+    step, tokens, *_ = jax.lax.while_loop(cond, body, state)
+    return {"predict": tokens}

@@ -1,0 +1,390 @@
+"""Functional transformer building blocks (DETR-convention, TPU-first).
+
+Math contract (reference: faceformer/transformer.py:127-269):
+  - positional embeddings are ADDED TO Q AND K ONLY, never to values;
+  - pre-LN ("normalize_before") residual blocks by default, post-LN switch;
+  - self-attn value is the normed input; cross-attn value is raw memory;
+  - attention is torch.nn.MultiheadAttention-compatible: per-head scaled
+    dot product with q scaled by head_dim**-0.5 after projection, additive
+    boolean masks, dropout on attention probabilities.
+
+TPU-first departures from the reference:
+  - batch-first (..., S, E) layouts throughout (XLA-preferred);
+  - per-layer parameters are STACKED along a leading axis and iterated with
+    lax.scan — one compiled layer body regardless of depth;
+  - keys/values may carry fewer batch dims than queries and broadcast inside
+    the attention einsum: this is what replaces the reference's
+    memory.repeat_interleave(max_num_edges) blow-up (model_para.py:122,212)
+    with a free broadcast;
+  - masks fill with the dtype's lowest value rather than -inf (same argmax
+    and softmax results for non-degenerate rows, but never NaN);
+  - LayerNorm and softmax run in fp32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializers (reference: model.py:49-52 xavier-uniform for every dim>1
+# param; biases keep torch defaults — zeros for attention, fan-in uniform
+# for Linear layers)
+# ---------------------------------------------------------------------------
+
+
+def xavier_uniform(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    bound = math.sqrt(6.0 / (in_dim + out_dim))
+    return jax.random.uniform(key, (in_dim, out_dim), dtype, -bound, bound)
+
+
+def torch_linear_bias(key, fan_in: int, out_dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, (out_dim,), dtype, -bound, bound)
+
+
+def init_linear(key, in_dim: int, out_dim: int, zero_bias: bool = False) -> Params:
+    kw, kb = jax.random.split(key)
+    return {
+        "w": xavier_uniform(kw, in_dim, out_dim),
+        "b": jnp.zeros((out_dim,), jnp.float32)
+        if zero_bias
+        else torch_linear_bias(kb, in_dim, out_dim),
+    }
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_attention(key, dim: int) -> Params:
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "wq": xavier_uniform(kq, dim, dim),
+        "wk": xavier_uniform(kk, dim, dim),
+        "wv": xavier_uniform(kv, dim, dim),
+        "bq": jnp.zeros((dim,), jnp.float32),
+        "bk": jnp.zeros((dim,), jnp.float32),
+        "bv": jnp.zeros((dim,), jnp.float32),
+        "wo": xavier_uniform(ko, dim, dim),
+        "bo": jnp.zeros((dim,), jnp.float32),
+    }
+
+
+def init_encoder_layer(key, dim: int, ffn_dim: int) -> Params:
+    ka, k1, k2 = jax.random.split(key, 3)
+    return {
+        "self_attn": init_attention(ka, dim),
+        "norm1": init_layer_norm(dim),
+        "norm2": init_layer_norm(dim),
+        "ffn": {"lin1": init_linear(k1, dim, ffn_dim), "lin2": init_linear(k2, ffn_dim, dim)},
+    }
+
+
+def init_decoder_layer(key, dim: int, ffn_dim: int) -> Params:
+    ka, kc, k1, k2 = jax.random.split(key, 4)
+    return {
+        "self_attn": init_attention(ka, dim),
+        "cross_attn": init_attention(kc, dim),
+        "norm1": init_layer_norm(dim),
+        "norm2": init_layer_norm(dim),
+        "norm3": init_layer_norm(dim),
+        "ffn": {"lin1": init_linear(k1, dim, ffn_dim), "lin2": init_linear(k2, ffn_dim, dim)},
+    }
+
+
+def init_stack(key, n_layers: int, init_one) -> Params:
+    """Stack per-layer param trees along a leading axis for lax.scan."""
+    layers = [init_one(k) for k in jax.random.split(key, n_layers)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def big_neg(dtype) -> float:
+    """Mask fill value: lowest finite value of the dtype (reference
+    faceformer/utils.py:16-20 min_value_of_dtype)."""
+    return float(jnp.finfo(dtype).min)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm computed in fp32, cast back to the input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = out * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(dtype)
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Inverted dropout; identity when rng is None (eval) or rate == 0."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def activation_fn(name: str):
+    if name == "relu":
+        return jax.nn.relu
+    if name == "gelu":
+        return jax.nn.gelu
+    if name == "glu":
+        return jax.nn.glu
+    raise ValueError(f"activation should be relu/gelu/glu, not {name}")
+
+
+def causal_mask(size: int) -> jnp.ndarray:
+    """Boolean (size, size) mask, True above the diagonal (masked)."""
+    return jnp.triu(jnp.ones((size, size), dtype=bool), k=1)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+def _split_heads(x: jnp.ndarray, num_head: int) -> jnp.ndarray:
+    *batch, s, e = x.shape
+    return x.reshape(*batch, s, num_head, e // num_head)
+
+
+def multihead_attention(
+    p: Params,
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    num_head: int,
+    attn_mask: Optional[jnp.ndarray] = None,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """torch.nn.MultiheadAttention-compatible attention, batch-first.
+
+    query: (*Bq, Sq, E); key/value: (*Bk, Sk, E) where Bk must broadcast
+    against Bq (e.g. query (N, F, T, E) vs key (N, 1, L, E) for the parallel
+    model's shared memory). attn_mask: (Sq, Sk) bool, True = masked.
+    key_padding_mask: (*Bk, Sk) bool, True = padded.
+    """
+    dtype = query.dtype
+    head_dim = query.shape[-1] // num_head
+
+    q = _split_heads(linear({"w": p["wq"], "b": p["bq"]}, query), num_head)
+    k = _split_heads(linear({"w": p["wk"], "b": p["bk"]}, key), num_head)
+    v = _split_heads(linear({"w": p["wv"], "b": p["bv"]}, value), num_head)
+    q = q * (head_dim ** -0.5)
+
+    # (..., H, Sq, Sk); fp32 accumulation on the MXU
+    scores = jnp.einsum("...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32)
+
+    neg = big_neg(jnp.float32)
+    if attn_mask is not None:
+        scores = jnp.where(attn_mask, neg, scores)
+    if key_padding_mask is not None:
+        pad = key_padding_mask[..., None, None, :]  # (*Bk, 1, 1, Sk)
+        scores = jnp.where(pad, neg, scores)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = dropout(probs, dropout_rate, rng)
+
+    out = jnp.einsum("...hqk,...khd->...qhd", probs.astype(dtype), v)
+    *batch, s, h, d = out.shape
+    out = out.reshape(*batch, s, h * d)
+    return linear({"w": p["wo"], "b": p["bo"]}, out)
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder layers (pre-LN and post-LN paths)
+# ---------------------------------------------------------------------------
+
+
+def _ffn(p: Params, x: jnp.ndarray, act, rate: float, rng) -> jnp.ndarray:
+    h = act(linear(p["lin1"], x))
+    h = dropout(h, rate, rng)
+    return linear(p["lin2"], h)
+
+
+def _rngs(rng: Optional[jax.Array], n: int):
+    if rng is None:
+        return (None,) * n
+    return tuple(jax.random.split(rng, n))
+
+
+def encoder_layer(
+    p: Params,
+    x: jnp.ndarray,
+    pos: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray],
+    *,
+    num_head: int,
+    dropout_rate: float,
+    activation: str,
+    normalize_before: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    """One encoder block (reference: transformer.py:146-184)."""
+    act = activation_fn(activation)
+    r_attn, r1, r_ffn_in, r2 = _rngs(rng, 4)
+    if normalize_before:
+        x2 = layer_norm(p["norm1"], x)
+        qk = x2 + pos
+        sa = multihead_attention(
+            p["self_attn"], qk, qk, x2, num_head,
+            key_padding_mask=key_padding_mask, dropout_rate=dropout_rate, rng=r_attn)
+        x = x + dropout(sa, dropout_rate, r1)
+        x2 = layer_norm(p["norm2"], x)
+        x = x + dropout(_ffn(p["ffn"], x2, act, dropout_rate, r_ffn_in), dropout_rate, r2)
+        return x
+    qk = x + pos
+    sa = multihead_attention(
+        p["self_attn"], qk, qk, x, num_head,
+        key_padding_mask=key_padding_mask, dropout_rate=dropout_rate, rng=r_attn)
+    x = layer_norm(p["norm1"], x + dropout(sa, dropout_rate, r1))
+    ff = _ffn(p["ffn"], x, act, dropout_rate, r_ffn_in)
+    return layer_norm(p["norm2"], x + dropout(ff, dropout_rate, r2))
+
+
+def decoder_layer(
+    p: Params,
+    tgt: jnp.ndarray,
+    memory: jnp.ndarray,
+    query_pos: jnp.ndarray,
+    pos: jnp.ndarray,
+    *,
+    num_head: int,
+    dropout_rate: float,
+    activation: str,
+    normalize_before: bool,
+    tgt_mask: Optional[jnp.ndarray] = None,
+    tgt_key_padding_mask: Optional[jnp.ndarray] = None,
+    memory_key_padding_mask: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """One decoder block: self-attn, cross-attn to memory, FFN
+    (reference: transformer.py:209-259). ``memory`` may have fewer batch
+    dims than ``tgt`` and broadcasts (anchor-parallel decode)."""
+    act = activation_fn(activation)
+    r_sa, r1, r_ca, r2, r_ffn_in, r3 = _rngs(rng, 6)
+    if normalize_before:
+        t2 = layer_norm(p["norm1"], tgt)
+        qk = t2 + query_pos
+        sa = multihead_attention(
+            p["self_attn"], qk, qk, t2, num_head,
+            attn_mask=tgt_mask, key_padding_mask=tgt_key_padding_mask,
+            dropout_rate=dropout_rate, rng=r_sa)
+        tgt = tgt + dropout(sa, dropout_rate, r1)
+        t2 = layer_norm(p["norm2"], tgt)
+        ca = multihead_attention(
+            p["cross_attn"], t2 + query_pos, memory + pos, memory, num_head,
+            key_padding_mask=memory_key_padding_mask,
+            dropout_rate=dropout_rate, rng=r_ca)
+        tgt = tgt + dropout(ca, dropout_rate, r2)
+        t2 = layer_norm(p["norm3"], tgt)
+        tgt = tgt + dropout(_ffn(p["ffn"], t2, act, dropout_rate, r_ffn_in), dropout_rate, r3)
+        return tgt
+    qk = tgt + query_pos
+    sa = multihead_attention(
+        p["self_attn"], qk, qk, tgt, num_head,
+        attn_mask=tgt_mask, key_padding_mask=tgt_key_padding_mask,
+        dropout_rate=dropout_rate, rng=r_sa)
+    tgt = layer_norm(p["norm1"], tgt + dropout(sa, dropout_rate, r1))
+    ca = multihead_attention(
+        p["cross_attn"], tgt + query_pos, memory + pos, memory, num_head,
+        key_padding_mask=memory_key_padding_mask, dropout_rate=dropout_rate, rng=r_ca)
+    tgt = layer_norm(p["norm2"], tgt + dropout(ca, dropout_rate, r2))
+    ff = _ffn(p["ffn"], tgt, act, dropout_rate, r_ffn_in)
+    return layer_norm(p["norm3"], tgt + dropout(ff, dropout_rate, r3))
+
+
+# ---------------------------------------------------------------------------
+# stacks: lax.scan over stacked layer params
+# ---------------------------------------------------------------------------
+
+
+def _scan_stack(layer_fn, stacked: Params, x: jnp.ndarray, rng: Optional[jax.Array]):
+    n_layers = jax.tree.leaves(stacked)[0].shape[0]
+
+    def body(carry, inputs):
+        layer_p, idx = inputs
+        layer_rng = None if rng is None else jax.random.fold_in(rng, idx)
+        return layer_fn(layer_p, carry, layer_rng), None
+
+    out, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n_layers)))
+    return out
+
+
+def encoder_forward(
+    p: Params,
+    x: jnp.ndarray,
+    pos: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray],
+    *,
+    num_head: int,
+    dropout_rate: float,
+    activation: str = "relu",
+    normalize_before: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Full encoder stack + final norm (reference: transformer.py:62-83)."""
+    fn = partial(
+        _apply_encoder_layer, pos=pos, key_padding_mask=key_padding_mask,
+        num_head=num_head, dropout_rate=dropout_rate,
+        activation=activation, normalize_before=normalize_before)
+    out = _scan_stack(fn, p["layers"], x, rng)
+    if normalize_before:
+        out = layer_norm(p["norm"], out)
+    return out
+
+
+def _apply_encoder_layer(layer_p, x, rng, **kw):
+    return encoder_layer(layer_p, x, kw.pop("pos"), kw.pop("key_padding_mask"), rng=rng, **kw)
+
+
+def decoder_forward(
+    p: Params,
+    tgt: jnp.ndarray,
+    memory: jnp.ndarray,
+    query_pos: jnp.ndarray,
+    pos: jnp.ndarray,
+    *,
+    num_head: int,
+    dropout_rate: float,
+    activation: str = "relu",
+    normalize_before: bool = True,
+    tgt_mask: Optional[jnp.ndarray] = None,
+    tgt_key_padding_mask: Optional[jnp.ndarray] = None,
+    memory_key_padding_mask: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Full decoder stack + final norm (reference: transformer.py:86-124;
+    the decoder norm exists in both pre/post-LN modes, model.py:42-43)."""
+
+    def fn(layer_p, x, layer_rng):
+        return decoder_layer(
+            layer_p, x, memory, query_pos, pos,
+            num_head=num_head, dropout_rate=dropout_rate, activation=activation,
+            normalize_before=normalize_before, tgt_mask=tgt_mask,
+            tgt_key_padding_mask=tgt_key_padding_mask,
+            memory_key_padding_mask=memory_key_padding_mask, rng=layer_rng)
+
+    out = _scan_stack(fn, p["layers"], tgt, rng)
+    return layer_norm(p["norm"], out)

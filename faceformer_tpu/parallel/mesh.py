@@ -1,0 +1,118 @@
+"""Mesh construction and sharding rules.
+
+Data parallelism: batches shard over the `data` axis; gradients all-reduce
+over ICI automatically through sharding propagation.
+
+Tensor parallelism (optional, for scale-out headroom): attention QKV/out
+projections and FFN hidden dims shard over the `model` axis — the standard
+Megatron split expressed as PartitionSpecs; XLA inserts the all-reduces.
+The shipped 512-dim models don't need TP, but the specs make the same code
+scale to wider variants (design requirement from the rebuild plan).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = 0, model_axis: int = 1) -> Mesh:
+    """1- or 2-axis mesh over the first num_devices local devices.
+
+    model_axis > 1 carves a tensor-parallel axis out of the device count.
+    """
+    devices = jax.devices()
+    n = num_devices if num_devices > 0 else len(devices)
+    if n % model_axis != 0:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    grid = np.asarray(devices[:n]).reshape(n // model_axis, model_axis)
+    return Mesh(grid, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over `data`."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _attn_specs(shard_model: bool) -> Dict[str, P]:
+    if not shard_model:
+        return {k: P() for k in ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo")}
+    # Megatron split: QKV column-parallel (heads over `model`),
+    # output row-parallel
+    return {
+        "wq": P(None, "model"), "wk": P(None, "model"), "wv": P(None, "model"),
+        "bq": P("model"), "bk": P("model"), "bv": P("model"),
+        "wo": P("model", None), "bo": P(),
+    }
+
+
+def _layer_specs(layer: Dict[str, Any], shard_model: bool) -> Dict[str, Any]:
+    specs: Dict[str, Any] = {}
+    for name, sub in layer.items():
+        if name in ("self_attn", "cross_attn"):
+            specs[name] = _attn_specs(shard_model)
+        elif name == "ffn":
+            if shard_model:
+                specs[name] = {
+                    "lin1": {"w": P(None, "model"), "b": P("model")},
+                    "lin2": {"w": P("model", None), "b": P()},
+                }
+            else:
+                specs[name] = jax.tree.map(lambda _: P(), sub)
+        else:  # norms
+            specs[name] = jax.tree.map(lambda _: P(), sub)
+    return specs
+
+
+def param_partition_specs(params: Dict[str, Any], shard_model: bool = False) -> Dict[str, Any]:
+    """PartitionSpec tree matching the model parameter tree.
+
+    Stacked layer params get their layer axis prepended (replicated — layers
+    are scanned, not pipelined, at this scale)."""
+
+    def prepend_layer_axis(spec_tree):
+        return jax.tree.map(lambda s: P(None, *s), spec_tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    specs: Dict[str, Any] = {}
+    for name, sub in params.items():
+        if name in ("encoder", "decoder"):
+            specs[name] = {
+                "layers": prepend_layer_axis(_layer_specs(sub["layers"], shard_model)),
+                "norm": jax.tree.map(lambda _: P(), sub["norm"]),
+            }
+        elif name == "project":
+            specs[name] = (
+                {"w": P(None, "model"), "b": P("model")} if shard_model
+                else jax.tree.map(lambda _: P(), sub)
+            )
+        else:
+            specs[name] = jax.tree.map(lambda _: P(), sub)
+    return specs
+
+
+def shard_params(params, mesh: Mesh, shard_model: bool = False):
+    specs = param_partition_specs(params, shard_model)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings)
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Move a host batch onto the mesh, batch axis over `data`. Non-array
+    fields (names) stay on host."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for key, val in batch.items():
+        if isinstance(val, (list, str)):
+            out[key] = val
+        else:
+            out[key] = jax.device_put(np.asarray(val), sh)
+    return out

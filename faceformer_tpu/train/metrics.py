@@ -1,0 +1,198 @@
+"""Face-level metric engine: the exact contract the rebuild must reproduce.
+
+Definitions (reference: faceformer/trainer.py:153-300):
+  - predicted/label token grids parse into (face_type, edge-index tuple)
+    faces; single-sequence grids split at EOS then SEP, parallel rows split
+    at the first face-type token;
+  - coedge datasets additionally filter by enclosedness, compute a
+    coedge-sequence accuracy, then map coedges to canonical edges;
+  - faces canonicalize to (majority-vote type, sorted unique edge set);
+  - TP = exact set match; precision = TP/|pred|, recall = TP/|label|,
+    type_acc = type matches / TP;
+  - plus a token-level accuracy over non-PAD label positions.
+
+All of this is host-side set arithmetic on small arrays — numpy, not JAX.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from faceformer_tpu.config import PostProcessConfig, TokenConfig
+from faceformer_tpu.post_processing import (
+    filter_faces_by_encloseness,
+    map_coedge_into_edges,
+)
+
+Face = Tuple[int, tuple]
+
+
+def parse_faces(
+    predicts: np.ndarray, labels: np.ndarray, num_edges: int, tok: TokenConfig
+) -> Tuple[List[Face], List[Face]]:
+    """Parse flat single-sequence grids (reference: trainer.py:153-177).
+
+    Returns (predict_faces, label_faces); types are always 0 for this task
+    flavor."""
+
+    def upto_first_eos(seq):
+        return np.split(seq, np.where(seq == tok.EOS)[0] + 1)[0]
+
+    label = upto_first_eos(labels)
+    predict = upto_first_eos(predicts)
+
+    label_faces = []
+    for chunk in np.split(label, np.where(label == tok.SEP)[0] + 1):
+        vals = chunk[:-1] - tok.length  # strip SEP/EOS, remove offset
+        vals = vals[(vals >= 0) & (vals < num_edges)]
+        if len(vals) > 0:
+            label_faces.append((0, tuple(vals.tolist())))
+
+    predict_faces = []
+    for chunk in np.split(predict, np.where(predict == tok.SEP)[0] + 1):
+        if len(chunk) > 1:
+            vals = chunk[:-1] - tok.length
+            vals = vals[(vals >= 0) & (vals < num_edges)]
+            if len(vals) > 0:
+                predict_faces.append((0, tuple(vals.tolist())))
+
+    return predict_faces, label_faces
+
+
+def parse_parallel_faces(
+    predicts: np.ndarray, labels: np.ndarray, num_edges: int, tok: TokenConfig
+) -> Tuple[List[Face], List[Face]]:
+    """Parse per-anchor grids (reference: trainer.py:181-208). Each row is
+    cut at its first face-type token (which doubles as EOS and encodes the
+    type)."""
+
+    def is_type_token(seq):
+        return (seq >= tok.face_type_offset) & (seq < tok.length)
+
+    def parse_rows(rows, clip_to_edges):
+        faces = []
+        for row in rows:
+            chunk = np.split(row, np.where(is_type_token(row))[0] + 1)[0]
+            face_type = int(chunk[-1]) - tok.face_type_offset
+            vals = chunk - tok.length
+            vals = vals[vals >= 0]
+            if clip_to_edges:
+                vals = vals[vals < num_edges]
+            if len(vals) > 0:
+                faces.append((face_type, tuple(vals.tolist())))
+        return faces
+
+    return parse_rows(predicts, True), parse_rows(labels, False)
+
+
+class FaceMetrics:
+    """Per-batch face metrics (reference: trainer.py:210-300 face_accuracy)."""
+
+    def __init__(self, post_process: PostProcessConfig, tok: TokenConfig):
+        self.post_process = post_process
+        self.tok = tok
+
+    def evaluate_sample(
+        self, predicts: np.ndarray, labels: np.ndarray, raw_data: Dict
+    ) -> Dict:
+        edges = raw_data["edges"]
+        if labels.ndim == 2:
+            predict_faces, label_faces = parse_parallel_faces(
+                predicts, labels, len(edges), self.tok)
+        else:
+            predict_faces, label_faces = parse_faces(
+                predicts, labels, len(edges), self.tok)
+
+        out: Dict = {}
+        if self.post_process.is_coedge:
+            pairings = raw_data["pairings"]
+            tol = self.post_process.enclosedness_tol
+            predict_faces = filter_faces_by_encloseness(edges, predict_faces, tol)
+            label_faces = filter_faces_by_encloseness(edges, label_faces, tol)
+
+            # coedge-sequence accuracy: exact loop-decomposition matches
+            # (reference: trainer.py:232-252)
+            face_tp = type_tp = 0
+            label_set = set(label_faces)
+            for pred_type, pred_face in predict_faces:
+                for label_type, label_face in label_set:
+                    if pred_face == label_face:
+                        face_tp += 1
+                        if pred_type == label_type:
+                            type_tp += 1
+                        break
+            out["accuracy"] = face_tp / len(predict_faces) if predict_faces else 0
+            out["type_acc_coedge_seq"] = (
+                type_tp / face_tp if predict_faces and face_tp else 0)
+
+            def to_edges(faces):
+                return [
+                    (ftype, map_coedge_into_edges(
+                        pairings, [i for loop in loops for i in loop]))
+                    for ftype, loops in faces
+                ]
+
+            label_faces = to_edges(label_faces)
+            predict_faces = to_edges(predict_faces)
+
+        # canonicalize: dedup labels, majority-vote predicted types
+        # (reference: trainer.py:257-269)
+        label_set = list({(ft, tuple(sorted(set(ix)))) for ft, ix in label_faces})
+        by_face: Dict[tuple, List[int]] = {}
+        for ftype, indices in predict_faces:
+            by_face.setdefault(tuple(sorted(set(indices))), []).append(ftype)
+        predict_set = [
+            (Counter(types).most_common(1)[0][0], face) for face, types in by_face.items()
+        ]
+
+        face_tp = type_tp = 0
+        for pred_type, pred_face in predict_set:
+            for label_type, label_face in label_set:
+                if pred_face == label_face:
+                    face_tp += 1
+                    if pred_type == label_type:
+                        type_tp += 1
+                    break
+
+        if not predict_set or not label_set:
+            out.update(precision=0, recall=0, type_acc=0)
+        else:
+            out["precision"] = face_tp / len(predict_set)
+            out["recall"] = face_tp / len(label_set)
+            out["type_acc"] = type_tp / face_tp if face_tp else 0
+        out["predictions"] = predict_set
+        out["labels"] = label_set
+        return out
+
+    def evaluate_batch(
+        self,
+        predicts: np.ndarray,
+        labels: np.ndarray,
+        raw_datas: Sequence[Dict],
+        sample_valid: Sequence[bool] | None = None,
+    ) -> Dict[str, List]:
+        """Evaluate every sample in a batch; returns dict-of-lists plus the
+        batch token accuracy over labels > PAD (reference: trainer.py:296-300)."""
+        results: Dict[str, List] = {
+            k: []
+            for k in ("precision", "recall", "type_acc", "accuracy",
+                      "type_acc_coedge_seq", "predictions", "labels")
+        }
+        for i in range(len(labels)):
+            if sample_valid is not None and not sample_valid[i]:
+                continue
+            out = self.evaluate_sample(predicts[i], labels[i], raw_datas[i])
+            for key in results:
+                if key in out:
+                    results[key].append(out[key])
+
+        valid = labels > self.tok.PAD
+        if sample_valid is not None:
+            valid = valid & np.asarray(sample_valid).reshape(
+                -1, *([1] * (labels.ndim - 1)))
+        acc_sum = (valid & (predicts == labels)).sum()
+        results["token_accuracy"] = float(acc_sum / max(valid.sum(), 1))
+        return results

@@ -4,10 +4,15 @@ trick; the reference has no analogue — it has no test suite at all)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon sitecustomize pins JAX_PLATFORMS=axon; the config route wins
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
