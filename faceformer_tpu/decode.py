@@ -177,8 +177,12 @@ def greedy_decode_single(
     batch: Dict[str, jnp.ndarray],
     precision: str = "fp32",
     mode: str = "reference",
+    early_stop: bool = True,
 ) -> Dict[str, jnp.ndarray]:
-    """Flat-sequence greedy decode (reference: model.py:169-219)."""
+    """Flat-sequence greedy decode (reference: model.py:169-219).
+
+    early_stop=False decodes the full token budget regardless of EOS —
+    used for worst-case throughput benchmarking."""
     dtype = compute_dtype(precision)
     tok = cfg.token
     memory, pos, padded_mask = encode(
@@ -192,6 +196,8 @@ def greedy_decode_single(
 
     def cond(state):
         step, _, eos_count = state[0], state[1], state[2]
+        if not early_stop:
+            return step < t_max - 1
         return jnp.logical_and(step < t_max - 1, eos_count != n)
 
     if mode == "reference":
@@ -253,6 +259,7 @@ def greedy_decode_parallel(
     batch: Dict[str, jnp.ndarray],
     precision: str = "fp32",
     mode: str = "reference",
+    early_stop: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Anchor-parallel greedy decode (reference: model_para.py:181-241).
 
@@ -283,6 +290,8 @@ def greedy_decode_parallel(
 
     def cond(state):
         step, _, all_special = state[0], state[1], state[2]
+        if not early_stop:
+            return step < t_max - 1
         return jnp.logical_and(step < t_max - 1, jnp.logical_not(all_special))
 
     if mode == "reference":

@@ -1,0 +1,244 @@
+"""Checkpointing: Orbax trees + top-k management + PyTorch ckpt conversion.
+
+Replaces PyTorch-Lightning's ModelCheckpoint (reference: main.py:31-37 —
+save_last, top-2 by valid_precision). Unlike the reference, config travels
+as a JSON sidecar, not baked into the checkpoint, which removes the
+documented root_dir override gotcha (reference README.md:64-66).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from faceformer_tpu.config import Config, config_from_dict, config_to_dict
+
+
+class CheckpointManager:
+    """save-last + keep-top-k-by-metric checkpoint directory manager."""
+
+    def __init__(self, directory: str, top_k: int = 2, metric: str = "valid_precision"):
+        self.directory = directory
+        self.top_k = top_k
+        self.metric = metric
+        os.makedirs(directory, exist_ok=True)
+        self._index_path = os.path.join(directory, "index.json")
+        self._index: Dict[str, Any] = {"top": [], "last": None}
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self._index = json.load(f)
+
+    # -- low-level tree io ---------------------------------------------------
+
+    @staticmethod
+    def save_tree(path: str, tree: Dict[str, Any]) -> None:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), tree, force=True)
+
+    @staticmethod
+    def restore_tree(path: str, like: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            if like is not None:
+                like = jax.tree.map(np.asarray, like)
+            return ckptr.restore(os.path.abspath(path), like)
+
+    # -- manager API -----------------------------------------------------------
+
+    def save(self, state: Dict[str, Any], cfg: Config, epoch: int,
+             metric_value: Optional[float] = None) -> str:
+        """Save `last` and, when metric_value ranks in the top-k, a scored
+        checkpoint named epoch=N-<metric>=V (reference filename convention,
+        main.py:33)."""
+        meta = {"epoch": epoch, "config": config_to_dict(cfg),
+                self.metric: metric_value}
+
+        last_path = os.path.join(self.directory, "last")
+        self._write(last_path, state, meta)
+        self._index["last"] = last_path
+
+        if metric_value is not None:
+            name = f"epoch={epoch}-{self.metric}={metric_value:.4f}"
+            path = os.path.join(self.directory, name)
+            entries: List[Tuple[float, str]] = [tuple(e) for e in self._index["top"]]
+            if len(entries) < self.top_k or metric_value > min(e[0] for e in entries):
+                self._write(path, state, meta)
+                entries.append((metric_value, path))
+                entries.sort(key=lambda e: -e[0])
+                for _, stale in entries[self.top_k:]:
+                    shutil.rmtree(stale, ignore_errors=True)
+                self._index["top"] = entries[: self.top_k]
+        with open(self._index_path, "w") as f:
+            json.dump(self._index, f, indent=1)
+        return self._index["last"]
+
+    def _write(self, path: str, state: Dict[str, Any], meta: Dict) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+        self.save_tree(path, state)
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=1)
+
+    def best_path(self) -> Optional[str]:
+        return self._index["top"][0][1] if self._index["top"] else self._index["last"]
+
+
+def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None):
+    """Restore (state, meta). ``like`` provides the target tree structure."""
+    state = CheckpointManager.restore_tree(path, like)
+    meta_path = path.rstrip("/") + ".meta.json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+# ---------------------------------------------------------------------------
+# PyTorch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+# torch module-path fragments -> our tree (reference module names from
+# faceformer/models/model.py + faceformer/transformer.py)
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers_enc: int,
+                             num_layers_dec: int) -> Dict[str, Any]:
+    """Convert a reference PyTorch state_dict to our parameter tree.
+
+    Handles the Lightning 'model.' prefix, torch's (out, in) Linear layout
+    (transposed here), and nn.MultiheadAttention's packed in_proj q/k/v
+    stacking (reference ckpts store in_proj_weight as [Wq; Wk; Wv]).
+    """
+
+    def g(name: str) -> np.ndarray:
+        for candidate in (name, "model." + name):
+            if candidate in state_dict:
+                return np.asarray(state_dict[candidate], dtype=np.float32)
+        raise KeyError(f"missing parameter {name!r} in checkpoint")
+
+    def lin(name: str) -> Dict[str, np.ndarray]:
+        return {"w": g(name + ".weight").T, "b": g(name + ".bias")}
+
+    def ln(name: str) -> Dict[str, np.ndarray]:
+        return {"scale": g(name + ".weight"), "bias": g(name + ".bias")}
+
+    def attn(name: str) -> Dict[str, np.ndarray]:
+        in_w = g(name + ".in_proj_weight")
+        in_b = g(name + ".in_proj_bias")
+        e = in_w.shape[1]
+        wq, wk, wv = in_w[:e], in_w[e : 2 * e], in_w[2 * e :]
+        bq, bk, bv = in_b[:e], in_b[e : 2 * e], in_b[2 * e :]
+        out = lin(name + ".out_proj")
+        return {"wq": wq.T, "wk": wk.T, "wv": wv.T, "bq": bq, "bk": bk, "bv": bv,
+                "wo": out["w"], "bo": out["b"]}
+
+    def enc_layer(i: int) -> Dict[str, Any]:
+        base = f"encoder.layers.{i}"
+        return {
+            "self_attn": attn(base + ".self_attn"),
+            "norm1": ln(base + ".norm1"),
+            "norm2": ln(base + ".norm2"),
+            "ffn": {"lin1": lin(base + ".linear1"), "lin2": lin(base + ".linear2")},
+        }
+
+    def dec_layer(i: int) -> Dict[str, Any]:
+        base = f"decoder.layers.{i}"
+        return {
+            "self_attn": attn(base + ".self_attn"),
+            "cross_attn": attn(base + ".multihead_attn"),
+            "norm1": ln(base + ".norm1"),
+            "norm2": ln(base + ".norm2"),
+            "norm3": ln(base + ".norm3"),
+            "ffn": {"lin1": lin(base + ".linear1"), "lin2": lin(base + ".linear2")},
+        }
+
+    def stack(layers: List[Dict[str, Any]]) -> Dict[str, Any]:
+        return jax.tree.map(lambda *xs: np.stack(xs), *layers)
+
+    return {
+        "embed": {
+            "token_table": g("val_enc.embedding_token.weight"),
+            "lin1": lin("val_enc.embedding_value.0"),
+            "lin2": lin("val_enc.embedding_value.2"),
+        },
+        "pos_table": g("pos_enc.pos_embed.weight"),
+        "query_pos_table": g("query_pos_enc.pos_embed.weight"),
+        "encoder": {
+            "layers": stack([enc_layer(i) for i in range(num_layers_enc)]),
+            "norm": ln("encoder.norm"),
+        },
+        "decoder": {
+            "layers": stack([dec_layer(i) for i in range(num_layers_dec)]),
+            "norm": ln("decoder.norm"),
+        },
+        "project": lin("project"),
+    }
+
+
+def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of convert_torch_state_dict (our tree -> reference layout),
+    used for round-trip testing and interop."""
+    out: Dict[str, np.ndarray] = {}
+
+    def a(name, arr):
+        out["model." + name] = np.asarray(arr, dtype=np.float32)
+
+    def put_lin(name, p):
+        a(name + ".weight", np.asarray(p["w"]).T)
+        a(name + ".bias", p["b"])
+
+    def put_ln(name, p):
+        a(name + ".weight", p["scale"])
+        a(name + ".bias", p["bias"])
+
+    def put_attn(name, p):
+        a(name + ".in_proj_weight",
+          np.concatenate([np.asarray(p["wq"]).T, np.asarray(p["wk"]).T,
+                          np.asarray(p["wv"]).T], axis=0))
+        a(name + ".in_proj_bias",
+          np.concatenate([np.asarray(p["bq"]), np.asarray(p["bk"]), np.asarray(p["bv"])]))
+        put_lin(name + ".out_proj", {"w": p["wo"], "b": p["bo"]})
+
+    a("val_enc.embedding_token.weight", params["embed"]["token_table"])
+    put_lin("val_enc.embedding_value.0", params["embed"]["lin1"])
+    put_lin("val_enc.embedding_value.2", params["embed"]["lin2"])
+    a("pos_enc.pos_embed.weight", params["pos_table"])
+    a("query_pos_enc.pos_embed.weight", params["query_pos_table"])
+
+    for side, extra in (("encoder", ()), ("decoder", ("norm3",))):
+        stacked = params[side]["layers"]
+        n = jax.tree.leaves(stacked)[0].shape[0]
+        for i in range(n):
+            lp = jax.tree.map(lambda x: x[i], stacked)
+            base = f"{side}.layers.{i}"
+            put_attn(base + ".self_attn", lp["self_attn"])
+            if side == "decoder":
+                put_attn(base + ".multihead_attn", lp["cross_attn"])
+            put_ln(base + ".norm1", lp["norm1"])
+            put_ln(base + ".norm2", lp["norm2"])
+            for name in extra:
+                put_ln(base + f".{name}", lp[name])
+            put_lin(base + ".linear1", lp["ffn"]["lin1"])
+            put_lin(base + ".linear2", lp["ffn"]["lin2"])
+        put_ln(f"{side}.norm", params[side]["norm"])
+    put_lin("project", params["project"])
+    return out
+
+
+def load_torch_checkpoint(path: str, num_layers_enc: int, num_layers_dec: int):
+    """Load a reference .ckpt (Lightning) or .pt state_dict file and convert."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    state_dict = {k: v.numpy() if hasattr(v, "numpy") else v
+                  for k, v in state_dict.items()}
+    return convert_torch_state_dict(state_dict, num_layers_enc, num_layers_dec)
