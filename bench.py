@@ -52,13 +52,14 @@ def main() -> None:
             p, model_cfg, b, precision="bf16", mode=mode,
             early_stop=False)["predict"])
 
-    # warmup + compile
-    jax.block_until_ready(decode(params, batch))
+    # warmup + compile; np.asarray forces a real device->host sync (the
+    # tunneled axon platform's block_until_ready can return early)
+    np.asarray(decode(params, batch))
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(decode(params, batch))
+        np.asarray(decode(params, batch))
         times.append(time.perf_counter() - t0)
 
     best = min(times)
