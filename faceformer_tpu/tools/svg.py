@@ -1,0 +1,123 @@
+"""Dependency-free SVG wireframe rendering (+ optional PNG rasterization).
+
+Capability parity with the reference's json_to_svg
+(dataset/utils/json_to_svg.py:53-163): polyline renders with per-edge
+colors, non-scaling strokes, start-point markers, per-face group SVGs, and
+a JSON->SVG/PNG batch CLI. svgwrite/cairosvg are replaced by direct XML
+string assembly; PNG output engages only when cairosvg is importable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import colorsys
+import json
+import os
+from typing import List, Optional, Sequence
+
+
+def _color(i: int, n: int) -> str:
+    r, g, b = colorsys.hsv_to_rgb((i / max(n, 1)) % 1.0, 0.85, 0.9)
+    return f"#{int(r * 255):02x}{int(g * 255):02x}{int(b * 255):02x}"
+
+
+def _bounds(edges) -> tuple:
+    xs = [p[0] for e in edges for p in e]
+    ys = [p[1] for e in edges for p in e]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def render_svg(
+    edges: Sequence,
+    width: int = 256,
+    height: int = 256,
+    padding: float = 0.2,
+    line_width: float = 6 / 256,
+    mark_starts: bool = True,
+) -> str:
+    """Render polyline edges to an SVG document string."""
+    if not edges:
+        return f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}"/>'
+    x0, y0, x1, y1 = _bounds(edges)
+    span = max(x1 - x0, y1 - y0, 1e-9)
+    pad = span * padding
+    view = (x0 - pad, y0 - pad, span + 2 * pad, span + 2 * pad)
+    parts: List[str] = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="{view[0]:.6g} {view[1]:.6g} {view[2]:.6g} {view[3]:.6g}">'
+    ]
+    stroke = line_width * span
+    for i, edge in enumerate(edges):
+        pts = " ".join(f"{p[0]:.6g},{p[1]:.6g}" for p in edge)
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="{_color(i, len(edges))}" '
+            f'stroke-width="{stroke:.6g}" vector-effect="non-scaling-stroke"/>')
+        if mark_starts:
+            parts.append(
+                f'<circle cx="{edge[0][0]:.6g}" cy="{edge[0][1]:.6g}" '
+                f'r="{stroke:.6g}" fill="{_color(i, len(edges))}"/>')
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def render_svg_groups(groups: Sequence, **kwargs) -> str:
+    """One SVG containing every group's edges, colored per group
+    (reference save_svg_groups: per-face exploded visualization)."""
+    flat, colors = [], []
+    for gi, group in enumerate(groups):
+        for edge_list in group:
+            flat.append(edge_list)
+            colors.append(gi)
+    # reuse render_svg geometry handling; recolor by group
+    svg = render_svg(flat, mark_starts=False, **kwargs)
+    for i, gi in enumerate(colors):
+        svg = svg.replace(_color(i, len(flat)), _color(gi, len(groups)), 1)
+    return svg
+
+
+def save_svg(edges, path: str, **kwargs) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(render_svg(edges, **kwargs))
+
+
+def save_png(svg_path: str, png_path: str, width: int = 256, height: int = 256) -> bool:
+    """Rasterize an SVG; returns False when no rasterizer is available."""
+    try:
+        from cairosvg import svg2png
+    except ImportError:
+        return False
+    with open(svg_path) as f:
+        svg2png(bytestring=f.read().encode(), write_to=png_path,
+                output_width=width, output_height=height)
+    return True
+
+
+def json_to_svg_png(root: str, name: Optional[str] = None,
+                    width: int = 256, height: int = 256) -> None:
+    """Batch JSON -> SVG (+PNG when possible), reference CLI surface
+    (json_to_svg.py:104-163)."""
+    os.makedirs(os.path.join(root, "svg"), exist_ok=True)
+    os.makedirs(os.path.join(root, "png"), exist_ok=True)
+    names = ([name] if name else
+             [os.path.splitext(n)[0] for n in os.listdir(os.path.join(root, "json"))])
+    for n in names:
+        with open(os.path.join(root, "json", f"{n}.json")) as f:
+            data = json.load(f)
+        svg_path = os.path.join(root, "svg", f"{n}.svg")
+        save_svg(data["edges"], svg_path, width=width, height=height)
+        save_png(svg_path, os.path.join(root, "png", f"{n}.png"), width, height)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(description="render dataset JSONs to SVG/PNG")
+    parser.add_argument("--root", type=str, required=True)
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--width", type=int, default=256)
+    parser.add_argument("--height", type=int, default=256)
+    args = parser.parse_args(argv)
+    json_to_svg_png(args.root, args.name, args.width, args.height)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Dataset-tooling tests: synthetic generation, integrity check, splits,
+filters, SVG rendering."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from faceformer_tpu.tools.check_faces_enclosed import check_dataset, check_sample
+from faceformer_tpu.tools.filters.filter_length import filter_length, sequence_length
+from faceformer_tpu.tools.filters.filter_topology import bin_by_topology, topology_feature
+from faceformer_tpu.tools.objio import load_obj, scale_to_unit_sphere
+from faceformer_tpu.tools.svg import render_svg, render_svg_groups
+from faceformer_tpu.tools.synthetic_data import generate, prepare_splits
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    generate(root, num=12, seed=11)
+    return root
+
+
+class TestSyntheticData:
+    def test_layout(self, dataset_root):
+        assert len(os.listdir(os.path.join(dataset_root, "json"))) == 12
+        for split in ("train.txt", "valid.txt", "test.txt"):
+            assert os.path.exists(os.path.join(dataset_root, split))
+
+    def test_split_coverage(self, dataset_root):
+        names = set()
+        for split in ("train.txt", "valid.txt", "test.txt"):
+            with open(os.path.join(dataset_root, split)) as f:
+                names.update(line.strip() for line in f if line.strip())
+        assert len(names) == 12
+
+    def test_split_deterministic(self, tmp_path):
+        names = [f"{i:08d}" for i in range(20)]
+        prepare_splits(str(tmp_path), names, seed=42)
+        first = open(tmp_path / "train.txt").read()
+        prepare_splits(str(tmp_path), names, seed=42)
+        assert open(tmp_path / "train.txt").read() == first
+
+
+class TestIntegrityCheck:
+    def test_clean_dataset_passes(self, dataset_root):
+        assert check_dataset(dataset_root, tol=3e-4) == []
+
+    def test_corrupt_sample_fails(self, dataset_root, tmp_path):
+        name = sorted(os.listdir(os.path.join(dataset_root, "json")))[0]
+        with open(os.path.join(dataset_root, "json", name)) as f:
+            data = json.load(f)
+        # swap two indices inside a face loop to break the chain
+        entry = data["faces_indices"][0]
+        loops = entry[1] if isinstance(entry[0], int) else entry
+        if len(loops[0]) >= 3:
+            loops[0][0], loops[0][1] = loops[0][1], loops[0][0]
+        os.makedirs(tmp_path / "json")
+        bad_path = tmp_path / "json" / name
+        with open(bad_path, "w") as f:
+            json.dump(data, f)
+        assert not check_sample(str(bad_path), 3e-4)
+
+
+class TestFilters:
+    def test_sequence_length(self):
+        assert sequence_length([[0, 1, 2], [3, 4]]) == 1 + 4 + 3
+
+    def test_filter_length(self, dataset_root):
+        names = [os.path.splitext(n)[0]
+                 for n in os.listdir(os.path.join(dataset_root, "json"))]
+        kept = filter_length(dataset_root, names, face_seq_max=10_000,
+                             num_edge_max=10_000)
+        assert kept == names
+        assert filter_length(dataset_root, names, face_seq_max=2, num_edge_max=2) == []
+
+    def test_topology_binning(self):
+        stats = [
+            {"#edges": 12, "#parts": 1, "#sharp": 12, "#surfs": 6,
+             "curves": ["Line"] * 12, "surfs": ["Plane"] * 6},
+            {"#edges": 12, "#parts": 1, "#sharp": 12, "#surfs": 6,
+             "curves": ["Line"] * 12, "surfs": ["Plane"] * 6},
+            {"#edges": 6, "#parts": 1, "#sharp": 6, "#surfs": 4,
+             "curves": ["Line", "Line", "Circle", "Circle", "Line", "Line"],
+             "surfs": ["Plane", "Plane", "Cylinder", "Cylinder"]},
+        ]
+        features = [topology_feature(s) for s in stats]
+        bins = bin_by_topology(features, ["a", "b", "c"], threshold=0.0)
+        assert sorted(sorted(b) for b in bins) == [["a", "b"], ["c"]]
+
+
+class TestObjIO:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "m.obj")
+        with open(path, "w") as f:
+            f.write("v 0 0 0\nv 1 0 0\nv 0 2 0\nf 1 2 3\n")
+        verts, faces = load_obj(path)
+        assert verts.shape == (3, 3)
+        assert faces == [[0, 1, 2]]
+        unit = scale_to_unit_sphere(verts)
+        extent = unit.max(axis=0) - unit.min(axis=0)
+        assert np.linalg.norm(extent) == pytest.approx(2.0)
+
+
+class TestSVG:
+    def test_render(self):
+        svg = render_svg([[[0.0, 0.0], [1.0, 0.0]], [[1.0, 0.0], [1.0, 1.0]]])
+        assert svg.startswith("<svg") and svg.endswith("</svg>")
+        assert svg.count("<polyline") == 2
+
+    def test_groups(self):
+        svg = render_svg_groups([[[[0.0, 0.0], [1.0, 0.0]]], [[[1.0, 0.0], [1.0, 1.0]]]])
+        assert svg.count("<polyline") == 2
