@@ -36,7 +36,7 @@ raw grids match the reference exactly.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,8 +104,8 @@ def _incremental_decoder_step(
     x: jnp.ndarray,  # (..., 1, E) current-position decoder input
     qpos_t: jnp.ndarray,  # (1, E) learned query position for this step
     step: jnp.ndarray,
-    self_k: jnp.ndarray,  # (Lyr, ..., T, H, hd) caches
-    self_v: jnp.ndarray,
+    self_k: Tuple[jnp.ndarray, ...],  # per-layer (..., T, H, hd) caches
+    self_v: Tuple[jnp.ndarray, ...],
     cross_k: jnp.ndarray,  # (Lyr, ..., S, H, hd)
     cross_v: jnp.ndarray,
     mem_padding: jnp.ndarray,  # (..., S) broadcastable key padding
@@ -113,19 +113,27 @@ def _incremental_decoder_step(
 ):
     """Run one token through all decoder layers, appending to the KV caches.
 
+    Layers are UNROLLED (not scanned): each layer's cache is its own array
+    in the while-loop carry, so the per-step write is one
+    dynamic_update_slice XLA performs in place. (A lax.scan carrying the
+    stacked caches re-materializes every slab per layer — measured 4.5x
+    slower; dynamic-indexing a stacked cache copies it twice per layer.)
+
     Pre-LN only (the shipped models all use normalize_before=True,
     model.py:16). Returns (decoder output (..., 1, E), updated caches).
     """
     num_head = cfg.num_head
     head_dim = cfg.num_model // num_head
-    n_layers = self_k.shape[0]
     # positions beyond the current step are unwritten cache slots
     self_padding = jnp.arange(t_max) > step  # (T,)
     lp = params["decoder"]["layers"]
+    n_layers = cfg.num_decoder_layers
 
-    def body(carry, idx):
-        x, sk, sv = carry
-        p = jax.tree.map(lambda a: a[idx], lp)
+    new_k: List[jnp.ndarray] = []
+    new_v: List[jnp.ndarray] = []
+    for i in range(n_layers):
+        p = jax.tree.map(lambda a: a[i], lp)
+        sk, sv = self_k[i], self_v[i]
 
         t2 = L.layer_norm(p["norm1"], x)
         qk_in = t2 + qpos_t
@@ -136,13 +144,16 @@ def _incremental_decoder_step(
         q = q.reshape(*q.shape[:-1], num_head, head_dim)
         k_t = k_t.reshape(*k_t.shape[:-1], num_head, head_dim)
         v_t = v_t.reshape(*v_t.shape[:-1], num_head, head_dim)
-        # write this step's K/V into the caches (T axis is 3rd from the end)
-        t_axis = sk.ndim - 1 - 3
-        sk = jax.lax.dynamic_update_index_in_dim(
-            sk, jax.lax.dynamic_update_index_in_dim(sk[idx], k_t[..., 0, :, :], step, t_axis), idx, 0)
-        sv = jax.lax.dynamic_update_index_in_dim(
-            sv, jax.lax.dynamic_update_index_in_dim(sv[idx], v_t[..., 0, :, :], step, t_axis), idx, 0)
-        attn = _attend(q, sk[idx], sv[idx], self_padding, num_head)
+        # write this step's K/V (T axis is 3rd from the end of the cache)
+        t_axis = sk.ndim - 3
+        start = (0,) * t_axis + (step,) + (0, 0)
+        sk = jax.lax.dynamic_update_slice(
+            sk, jnp.expand_dims(k_t[..., 0, :, :], t_axis), start)
+        sv = jax.lax.dynamic_update_slice(
+            sv, jnp.expand_dims(v_t[..., 0, :, :], t_axis), start)
+        new_k.append(sk)
+        new_v.append(sv)
+        attn = _attend(q, sk, sv, self_padding, num_head)
         attn = attn.reshape(*attn.shape[:-2], -1)
         x = x + (attn @ sa["wo"].astype(x.dtype) + sa["bo"].astype(x.dtype))
 
@@ -150,7 +161,7 @@ def _incremental_decoder_step(
         ca = p["cross_attn"]
         q2 = ((t2 + qpos_t) @ ca["wq"].astype(x.dtype) + ca["bq"].astype(x.dtype))
         q2 = q2.reshape(*q2.shape[:-1], num_head, head_dim)
-        attn = _attend(q2, cross_k[idx], cross_v[idx], mem_padding, num_head)
+        attn = _attend(q2, cross_k[i], cross_v[i], mem_padding, num_head)
         attn = attn.reshape(*attn.shape[:-2], -1)
         x = x + (attn @ ca["wo"].astype(x.dtype) + ca["bo"].astype(x.dtype))
 
@@ -158,12 +169,9 @@ def _incremental_decoder_step(
         act = L.activation_fn(cfg.activation)
         h = act(L.linear(p["ffn"]["lin1"], t2))
         x = x + L.linear(p["ffn"]["lin2"], h)
-        return (x, sk, sv), None
 
-    (x, self_k, self_v), _ = jax.lax.scan(
-        body, (x, self_k, self_v), jnp.arange(n_layers))
     x = L.layer_norm(params["decoder"]["norm"], x)
-    return x, self_k, self_v
+    return x, tuple(new_k), tuple(new_v)
 
 
 # ---------------------------------------------------------------------------
@@ -225,9 +233,9 @@ def greedy_decode_single(
     head_dim = cfg.num_model // cfg.num_head
     n_layers = cfg.num_decoder_layers
     cross_k, cross_v = _cross_kv(params, memory, pos, cfg.num_head)
-    cache_shape = (n_layers, n, t_max, cfg.num_head, head_dim)
-    sk0 = jnp.zeros(cache_shape, dtype)
-    sv0 = jnp.zeros(cache_shape, dtype)
+    layer_cache = (n, t_max, cfg.num_head, head_dim)
+    sk0 = tuple(jnp.zeros(layer_cache, dtype) for _ in range(n_layers))
+    sv0 = tuple(jnp.zeros(layer_cache, dtype) for _ in range(n_layers))
 
     def body(state):
         step, tokens, eos_count, sk, sv = state
@@ -320,9 +328,9 @@ def greedy_decode_parallel(
     cross_k, cross_v = _cross_kv(params, memory, pos, cfg.num_head)
     # add the broadcast anchor axis to cross K/V and memory padding
     cross_k, cross_v = cross_k[:, :, None], cross_v[:, :, None]  # (Lyr, N, 1, S, H, hd)
-    cache_shape = (n_layers, n, f, t_max, cfg.num_head, head_dim)
-    sk0 = jnp.zeros(cache_shape, dtype)
-    sv0 = jnp.zeros(cache_shape, dtype)
+    layer_cache = (n, f, t_max, cfg.num_head, head_dim)
+    sk0 = tuple(jnp.zeros(layer_cache, dtype) for _ in range(n_layers))
+    sv0 = tuple(jnp.zeros(layer_cache, dtype) for _ in range(n_layers))
 
     def body(state):
         step, tokens, _, sk, sv = state

@@ -1,0 +1,152 @@
+"""ctypes bridge to the C++ geometry kernel (native/geometry_kernel.cc).
+
+The kernel accelerates the host-side hot loops — per-sample edge resampling
+in the data pipeline and batch face-enclosedness in eval post-processing.
+Pure-Python fallbacks keep everything working when the library isn't built;
+`build()` compiles it with g++ on demand (no pybind11, C ABI only).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libfaceformer_geometry.so"))
+_lib = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile the kernel with make/g++. Returns True on success."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True)
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.resample_edges.argtypes = [f64p, i64p, ctypes.c_int64, ctypes.c_int64, f32p]
+    lib.resample_edges.restype = None
+    lib.check_faces_enclosed.argtypes = [
+        f64p, i64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        ctypes.c_double, u8p, i64p, i64p]
+    lib.check_faces_enclosed.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def flatten_edges(edges: Sequence) -> Tuple[np.ndarray, np.ndarray]:
+    """Ragged polylines -> (points (N,2) float64, offsets (E+1,) int64)."""
+    offsets = np.zeros(len(edges) + 1, dtype=np.int64)
+    for i, e in enumerate(edges):
+        offsets[i + 1] = offsets[i] + len(e)
+    points = np.empty((int(offsets[-1]), 2), dtype=np.float64)
+    for i, e in enumerate(edges):
+        points[offsets[i] : offsets[i + 1]] = np.asarray(e, dtype=np.float64)[:, :2]
+    return points, offsets
+
+
+def resample_edges_native(points: np.ndarray, offsets: np.ndarray,
+                          num_samples: int) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    num_edges = len(offsets) - 1
+    out = np.empty((num_edges, num_samples, 2), dtype=np.float32)
+    lib.resample_edges(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_edges, num_samples,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def check_faces_enclosed_native(
+    points: np.ndarray, offsets: np.ndarray,
+    faces: Sequence[Sequence[int]], tol: float,
+) -> Optional[List[Optional[List[int]]]]:
+    """Batch enclosedness. Per face: None when not enclosed, else the list
+    of loop lengths (counting only in-range indices, matching the Python
+    predicate's skip rule)."""
+    lib = load()
+    if lib is None:
+        return None
+    num_edges = len(offsets) - 1
+    face_offsets = np.zeros(len(faces) + 1, dtype=np.int64)
+    for i, f in enumerate(faces):
+        face_offsets[i + 1] = face_offsets[i] + len(f)
+    flat = np.asarray([i for f in faces for i in f], dtype=np.int64)
+    if flat.size == 0:
+        flat = np.zeros(1, dtype=np.int64)
+    enclosed = np.zeros(len(faces), dtype=np.uint8)
+    loop_ends = np.zeros(max(int(face_offsets[-1]), 1), dtype=np.int64)
+    num_loops = np.zeros(len(faces), dtype=np.int64)
+    lib.check_faces_enclosed(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_edges,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        face_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(faces), tol,
+        enclosed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        loop_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_loops.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    results: List[Optional[List[int]]] = []
+    for i in range(len(faces)):
+        if not enclosed[i]:
+            results.append(None)
+        else:
+            ends = loop_ends[face_offsets[i] : face_offsets[i] + num_loops[i]]
+            results.append([int(e) for e in ends])
+    return results
+
+
+def filter_faces_by_encloseness_batch(edges: Sequence, faces, tol: float):
+    """Native-accelerated batch version of
+    post_processing.filter_faces_by_encloseness: same output, one C call for
+    all faces of a sample. Falls back to the Python predicate when the
+    kernel is unavailable or indices carry orientation tuples."""
+    from faceformer_tpu.geometry.loops import canonicalize_loops
+    from faceformer_tpu.post_processing import filter_faces_by_encloseness
+
+    plain = all(
+        all(isinstance(i, (int, np.integer)) for i in face) for _, face in faces)
+    if not plain or not available():
+        return filter_faces_by_encloseness(edges, faces, tol)
+
+    points, offsets = flatten_edges(edges)
+    index_lists = [list(map(int, face)) for _, face in faces]
+    outcomes = check_faces_enclosed_native(points, offsets, index_lists, tol)
+    filtered = []
+    for (face_type, face), loop_lens in zip(faces, outcomes):
+        if loop_lens is None:
+            continue
+        valid = [i for i in face if 0 <= int(i) < len(edges)]
+        loops, pos = [], 0
+        for end in loop_lens:
+            loops.append(valid[pos:end])
+            pos = end
+        filtered.append((face_type, canonicalize_loops(loops)))
+    return filtered

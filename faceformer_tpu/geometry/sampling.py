@@ -39,6 +39,15 @@ def resample_edge_batch(
     out = np.zeros((num_lines, num_samples, point_dim), dtype=dtype)
     if len(edges) > num_lines:
         raise ValueError(f"{len(edges)} edges exceed num_lines={num_lines}")
+    if len(edges) == 0:
+        return out
+    if point_dim == 2 and dtype == np.float32:
+        from faceformer_tpu.geometry import native
+
+        if native.available():
+            points, offsets = native.flatten_edges(edges)
+            out[: len(edges)] = native.resample_edges_native(points, offsets, num_samples)
+            return out
     for i, edge in enumerate(edges):
         out[i] = resample_edge(edge, num_samples)
     return out

@@ -114,6 +114,13 @@ def masked_argmax(
     """Greedy next-token pick: dot against memory rows, mask padded rows with
     the dtype's lowest value, argmax (reference: model.py:161-167
     select_next). memory (N, S, E), pointer_vec (N, ..., E) -> (N, ...)."""
+    from faceformer_tpu import ops
+
+    if ops.enabled() and padded_mask.ndim == 2:
+        from faceformer_tpu.ops.pointer import pointer_argmax_batched
+
+        return pointer_argmax_batched(pointer_vec, memory, padded_mask,
+                                      interpret=ops.interpret_mode())
     logits = jnp.einsum("nse,n...e->n...s", memory, pointer_vec,
                         preferred_element_type=jnp.float32)
     mask = padded_mask.reshape(padded_mask.shape[0], *([1] * (logits.ndim - 2)), -1)

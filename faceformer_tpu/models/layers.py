@@ -162,6 +162,51 @@ def causal_mask(size: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _is_causal_mask(mask) -> bool:
+    """True for masks built by causal_mask (a concrete upper-triangular
+    constant); traced masks never match."""
+    if mask is None or not isinstance(mask, jnp.ndarray):
+        return False
+    try:
+        arr = np.asarray(mask)
+    except Exception:
+        return False  # traced inside jit: can't inspect, use the XLA path
+    if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
+        return False
+    return bool((arr == np.triu(np.ones(arr.shape, bool), k=1)).all())
+
+
+def _maybe_fused_attention(q, k, v, num_head, attn_mask, key_padding_mask,
+                           dropout_rate, rng):
+    """Route eligible attention calls to the Pallas kernel: dropout-free,
+    identical q/k batch dims (self-attn or materialized cross), and an
+    attn_mask that is either absent or the causal constant. Returns None
+    when the XLA path should run instead."""
+    from faceformer_tpu import ops
+
+    if not ops.enabled() or (rng is not None and dropout_rate > 0.0):
+        return None
+    if q.shape[:-3] != k.shape[:-3]:
+        return None  # broadcast-KV (anchor axis) stays on the XLA path
+    causal = attn_mask is not None and _is_causal_mask(attn_mask)
+    if attn_mask is not None and not causal:
+        return None
+    from faceformer_tpu.ops.attention import fused_attention
+
+    *batch, sq, h, hd = q.shape
+    sk = k.shape[-3]
+    n = int(np.prod(batch)) if batch else 1
+    if key_padding_mask is None:
+        kp = jnp.zeros((n, sk), dtype=bool)
+    else:
+        kp = jnp.broadcast_to(key_padding_mask, (*batch, sk)).reshape(n, sk)
+    out = fused_attention(
+        q.reshape(n, sq, h, hd), k.reshape(n, sk, h, hd),
+        v.reshape(n, sk, h, hd), kp, num_head=num_head, causal=causal,
+        interpret=ops.interpret_mode())
+    return out.reshape(*batch, sq, h * hd)
+
+
 def _split_heads(x: jnp.ndarray, num_head: int) -> jnp.ndarray:
     *batch, s, e = x.shape
     return x.reshape(*batch, s, num_head, e // num_head)
@@ -191,6 +236,12 @@ def multihead_attention(
     q = _split_heads(linear({"w": p["wq"], "b": p["bq"]}, query), num_head)
     k = _split_heads(linear({"w": p["wk"], "b": p["bk"]}, key), num_head)
     v = _split_heads(linear({"w": p["wv"], "b": p["bv"]}, value), num_head)
+
+    fused = _maybe_fused_attention(q, k, v, num_head, attn_mask,
+                                   key_padding_mask, dropout_rate, rng)
+    if fused is not None:
+        return linear({"w": p["wo"], "b": p["bo"]}, fused)
+
     q = q * (head_dim ** -0.5)
 
     # (..., H, Sq, Sk); fp32 accumulation on the MXU

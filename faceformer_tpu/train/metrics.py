@@ -108,10 +108,16 @@ class FaceMetrics:
 
         out: Dict = {}
         if self.post_process.is_coedge:
+            from faceformer_tpu.geometry.native import (
+                filter_faces_by_encloseness_batch,
+            )
+
             pairings = raw_data["pairings"]
             tol = self.post_process.enclosedness_tol
-            predict_faces = filter_faces_by_encloseness(edges, predict_faces, tol)
-            label_faces = filter_faces_by_encloseness(edges, label_faces, tol)
+            # one C call per sample when the native kernel is built;
+            # byte-identical to the Python predicate (parity-tested)
+            predict_faces = filter_faces_by_encloseness_batch(edges, predict_faces, tol)
+            label_faces = filter_faces_by_encloseness_batch(edges, label_faces, tol)
 
             # coedge-sequence accuracy: exact loop-decomposition matches
             # (reference: trainer.py:232-252)

@@ -1,0 +1,66 @@
+"""Native C++ geometry kernel: build + parity against the Python paths."""
+
+import numpy as np
+import pytest
+
+from faceformer_tpu.geometry import native
+from faceformer_tpu.geometry.enclosedness import is_face_enclosed
+from faceformer_tpu.geometry.fixtures import random_sample
+from faceformer_tpu.geometry.sampling import resample_edge_batch
+from faceformer_tpu.post_processing import filter_faces_by_encloseness
+
+pytestmark = pytest.mark.skipif(
+    not (native.build() and native.available()),
+    reason="native kernel could not be built")
+
+
+class TestResample:
+    def test_parity_random_edges(self, rng):
+        edges = []
+        for _ in range(30):
+            n = int(rng.integers(2, 40))
+            edges.append(rng.standard_normal((n, 2)).tolist())
+        points, offsets = native.flatten_edges(edges)
+        nat = native.resample_edges_native(points, offsets, 50)
+        # force the pure-python path via per-edge calls
+        ref = np.stack([np.asarray(
+            __import__("faceformer_tpu.geometry.sampling", fromlist=["resample_edge"]
+                       ).resample_edge(e, 50), dtype=np.float32) for e in edges])
+        np.testing.assert_array_equal(nat, ref.astype(np.float32))
+
+    def test_wired_into_packing(self, rng):
+        edges = [rng.standard_normal((5, 2)).tolist() for _ in range(4)]
+        out = resample_edge_batch(edges, num_lines=6, num_samples=8)
+        assert out.shape == (6, 8, 2)
+        assert np.all(out[4:] == 0)
+
+
+class TestEnclosedness:
+    def test_parity_on_fixtures(self, rng):
+        for _ in range(5):
+            sample = random_sample(rng)
+            edges = sample["edges"]
+            points, offsets = native.flatten_edges(edges)
+            faces = [[i for lp in loops for i in lp]
+                     for _, loops in sample["faces_indices"]]
+            # add corrupted variants
+            bad = [list(reversed(f)) for f in faces[:2]]
+            all_faces = faces + bad
+            nat = native.check_faces_enclosed_native(points, offsets, all_faces, 2e-4)
+            for face, out in zip(all_faces, nat):
+                py = is_face_enclosed(edges, face, 2e-4)
+                if py is False:
+                    assert out is None
+                else:
+                    lens = [sum(len(l) for l in py[: k + 1]) for k in range(len(py))]
+                    assert out == lens
+
+    def test_filter_batch_matches_python(self, rng):
+        sample = random_sample(rng)
+        edges = sample["edges"]
+        typed = [(t, tuple(i for lp in loops for i in lp))
+                 for t, loops in sample["faces_indices"]]
+        typed += [(0, tuple(reversed(typed[0][1])))]  # one broken face
+        nat = native.filter_faces_by_encloseness_batch(edges, typed, 2e-4)
+        ref = filter_faces_by_encloseness(edges, typed, 2e-4)
+        assert nat == ref
