@@ -181,3 +181,30 @@ class TestFixtures:
         assert sample["pairings"] == {}
         for face in sample["faces_indices"]:
             assert face == sorted(face)
+
+
+class TestCanonical:
+    def test_open_edge_direction(self):
+        from faceformer_tpu.geometry.canonical import correct_edge_direction
+        assert correct_edge_direction([[1.0, 0.0], [0.0, 0.0]]) == [[0.0, 0.0], [1.0, 0.0]]
+        assert correct_edge_direction([[0.0, 0.0], [1.0, 0.0]]) == [[0.0, 0.0], [1.0, 0.0]]
+        # x tie -> order by y
+        assert correct_edge_direction([[0.0, 1.0], [0.0, 0.0]]) == [[0.0, 0.0], [0.0, 1.0]]
+
+    def test_closed_edge_canonicalization(self):
+        from faceformer_tpu.geometry.canonical import correct_edge_direction
+        ring = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0], [1.0, 0.0]]
+        out = correct_edge_direction(ring)
+        assert out[0] == [-1.0, 0.0]  # min-x point leads
+        assert out[0] == out[-1]  # still closed
+        # clockwise by y: second point has the larger y neighbor first
+        assert out[1][1] >= out[-2][1]
+
+    def test_sort_key_edges(self):
+        from faceformer_tpu.geometry.canonical import sort_key_edges
+        edges = [[[1.0, 0.0], [2.0, 0.0]], [[0.0, 0.0], [1.0, 0.0]]]
+        assert sort_key_edges(edges) == [1, 0]
+
+    def test_sort_faces(self):
+        from faceformer_tpu.geometry.canonical import sort_faces_by_indices
+        assert sort_faces_by_indices([[3, 1], [0, 9], [3, 0]]) == [[0, 9], [3, 0], [3, 1]]

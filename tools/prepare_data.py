@@ -1,0 +1,307 @@
+"""ABC STEP files -> training JSONs (+ SVG viz). Requires pythonocc-core.
+
+Same CLI surface and output layout as the reference
+(dataset/prepare_data.py:378-426):
+
+    python tools/prepare_data.py --root <ABC root with step/> [--id_list F]
+        [--combine_coedge] [--order_by_position] [--direction_token]
+        [--random_camera] [--focus F] [--no_face_type] [--discretize_last]
+        [--three_view] [--name ID] [--only_split]
+
+Per shape: read STEP (5 s budget), reject multi-solid / >64-edge shapes,
+normalize to bbox-diagonal 2, optionally re-roll a random camera up to 5x,
+run the HLR/topology pipeline, emit canonical JSON (+ per-face SVGs), then
+write seeded 0.93/0.02/0.05 splits. --three_view instead renders the four
+canonical views used by the 3-view similarity filter
+(reference dataset/filters/3view_render.py).
+
+CAD-free alternative: python -m faceformer_tpu.tools.synthetic_data.
+"""
+
+import argparse
+import json
+import os
+import sys
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from faceformer_tpu.geometry.canonical import (
+    correct_edge_direction,
+    sort_faces_by_indices,
+    sort_key_edges,
+)
+from faceformer_tpu.geometry.enclosedness import is_face_enclosed
+from faceformer_tpu.tools.svg import save_svg
+from faceformer_tpu.tools.synthetic_data import prepare_splits
+
+
+def assemble_json(topo, args, name: str) -> dict:
+    """Canonicalize one TopoMapper result into the dataset JSON schema
+    (reference prepare_data.py:49-181, 249-265)."""
+    faces = list(topo.all_faces.values())
+
+    # collect per-face oriented discretized edges
+    records = []  # unique edge records: dicts with points/points3d
+    face_pointers = []  # per face: list of record indices (or (idx, orient))
+    face_types = []
+
+    if args.combine_coedge or args.direction_token:
+        # one record per undirected edge, canonical direction
+        key_to_idx = {}
+        for face in faces:
+            pointers = []
+            for erec, orient in zip(face.edges, face.orientations):
+                key = erec.key
+                if key not in key_to_idx:
+                    pts = correct_edge_direction(erec.dedge)
+                    key_to_idx[key] = len(records)
+                    records.append({"points": pts, "points3d": erec.dedge3d or []})
+                if args.direction_token:
+                    pointers.append((key_to_idx[key], 1 if orient else 0))
+                else:
+                    pointers.append(key_to_idx[key])
+            face_pointers.append(pointers)
+            face_types.append(face.face_type)
+    else:
+        # coedge mode: every face traversal emits its own oriented copy
+        for face in faces:
+            pointers = []
+            for pts2d, pts3d in zip(face.oriented_dedges(),
+                                    face.oriented_dedges(is_3d=True)):
+                pointers.append(len(records))
+                records.append({"points": list(pts2d), "points3d": list(pts3d or [])})
+            face_pointers.append(pointers)
+            face_types.append(face.face_type)
+
+    # sort edges lexicographically and remap indices
+    order = sort_key_edges([r["points"] for r in records])
+    remap = {old: new for new, old in enumerate(order)}
+    edges = [records[i]["points"] for i in order]
+    edges3d = [records[i]["points3d"] for i in order]
+
+    def remap_ptr(p):
+        return (remap[p[0]], p[1]) if isinstance(p, tuple) else remap[p]
+
+    face_pointers = [[remap_ptr(p) for p in ptrs] for ptrs in face_pointers]
+
+    if args.combine_coedge and not args.direction_token:
+        faces_indices = [sorted(ptrs) if args.order_by_position else ptrs
+                         for ptrs in face_pointers]
+        faces_indices = [
+            np.roll(face, -int(np.argmin(face)), axis=0).tolist()
+            for face in faces_indices]
+        faces_indices = sort_faces_by_indices(faces_indices)
+    else:
+        faces_indices = []
+        for ftype, ptrs in zip(face_types, face_pointers):
+            loops = is_face_enclosed(edges, ptrs, args.tol * 2)
+            if not loops:
+                raise AssertionError("faces unenclosed")
+            if args.direction_token:
+                rolled = [np.roll(lp, -int(np.argmin([t[0] for t in lp])),
+                                  axis=0).tolist() for lp in loops]
+                rolled = sorted(rolled, key=lambda lp: lp[0][0])
+            else:
+                rolled = [np.roll(lp, -int(np.argmin(lp)), axis=0).tolist()
+                          for lp in loops]
+                rolled = sorted(rolled, key=lambda lp: lp[0])
+            if args.no_face_type or args.direction_token:
+                faces_indices.append(rolled)
+            else:
+                faces_indices.append([int(ftype), rolled])
+        if args.direction_token or args.no_face_type:
+            faces_indices = sorted(faces_indices, key=lambda f: (
+                f[0][0][0] if args.direction_token else f[0][0]))
+        else:
+            faces_indices = sorted(faces_indices, key=lambda f: f[1][0][0])
+
+    pairings = {}
+    for i in range(len(edges)):
+        for j in range(i + 1, len(edges)):
+            if edges[i] == edges[j][::-1]:
+                pairings[i] = j
+
+    return {
+        "edges": edges,
+        "edges3d": edges3d,
+        "shrinked_edges": edges,
+        "faces_indices": faces_indices,
+        "dominant_directions": topo.dominant_directions(),
+        "pairings": pairings,
+    }
+
+
+def render_shape(name: str, args) -> None:
+    """Per-shape worker: read, filter, normalize, project, emit
+    (reference prepare_data.py:268-327). Errors are swallowed and logged."""
+    from faceformer_tpu.tools import occ_pipeline as occ
+
+    try:
+        try:
+            shape, num_shapes = occ.read_step_file(
+                os.path.join(args.root, "step", f"{name}.step"))
+        except Exception:
+            print(f"{name} took too long to read")
+            return
+        if shape is None or num_shapes > args.filter_num_shapes:
+            print(f"{name} rejected: {num_shapes} shapes")
+            return
+
+        from OCC.Core.BRepBuilderAPI import BRepBuilderAPI_Transform
+        from OCC.Core.Bnd import Bnd_Box
+        from OCC.Core.BRepBndLib import brepbndlib_Add
+        from OCC.Core.gp import gp_Pnt, gp_Trsf, gp_Vec
+        from OCC.Extend.TopologyUtils import TopologyExplorer
+
+        if len(list(TopologyExplorer(shape).edges())) > args.filter_num_edges:
+            print(f"{name} has too many edges.")
+            return
+
+        bbox = Bnd_Box()
+        bbox.SetGap(1e-6)
+        brepbndlib_Add(shape, bbox, False)
+        xmin, ymin, zmin, xmax, ymax, zmax = bbox.Get()
+        center = ((xmax + xmin) / 2, (ymin + ymax) / 2, (zmin + zmax) / 2)
+        extent = (xmax - xmin, ymax - ymin, zmax - zmin)
+        trans, scale = gp_Trsf(), gp_Trsf()
+        trans.SetTranslation(-gp_Vec(*center))
+        scale.SetScale(gp_Pnt(0, 0, 0), 2 / float(np.linalg.norm(extent)))
+        shape = BRepBuilderAPI_Transform(shape, scale * trans).Shape()
+
+        proj = occ.ProjectionArgs(
+            location=tuple(args.location), direction=tuple(args.direction),
+            focus=args.focus, tol=args.tol, discretize_last=args.discretize_last)
+
+        def emit():
+            topo = occ.TopoMapper(shape, proj)
+            data = assemble_json(topo, args, name)
+            os.makedirs(os.path.join(args.root, "json"), exist_ok=True)
+            with open(os.path.join(args.root, "json", f"{name}.json"), "w") as f:
+                json.dump(data, f)
+            save_svg(data["edges"], os.path.join(args.root, "svg", f"{name}.svg"),
+                     width=args.width, height=args.height)
+
+        if args.random_camera:
+            for _ in range(5):  # re-roll degenerate cameras (reference :305-319)
+                try:
+                    focus, pose = occ.generate_random_camera_pos(args.seed)
+                    proj.pose = pose
+                    if args.focus != 0:
+                        proj.focus = focus
+                    emit()
+                    return
+                except Exception:
+                    continue
+        emit()
+    except Exception as exc:
+        print(f"{name} received unknown error", exc)
+
+
+def render_three_views(name: str, args) -> None:
+    """Render the 4 canonical HLR views for the 3-view filter
+    (reference dataset/filters/3view_render.py:29-105)."""
+    from faceformer_tpu.tools import occ_pipeline as occ
+    from faceformer_tpu.tools.svg import save_png
+
+    try:
+        shape, _ = occ.read_step_file(os.path.join(args.root, "step", f"{name}.step"))
+        views = [
+            ((1.0, 1.0, 1.0), None),   # 45 degree
+            ((0.0, -1.0, 0.0), None),  # front
+            ((1.0, 0.0, 0.0), None),   # right
+            ((0.0, 0.0, 1.0), None),   # top
+        ]
+        from OCC.Extend.TopologyUtils import TopologyExplorer
+
+        for i, (direction, _) in enumerate(views):
+            proj = occ.ProjectionArgs(location=(0, 0, 0), direction=direction,
+                                      focus=0, tol=args.tol)
+            hlr = occ.project_shapes(shape, proj)
+            edges = []
+            for compound in (hlr.OutLineVCompound(), hlr.Rg1LineVCompound()):
+                if compound:
+                    edges += occ.discretize_compound(compound, args.tol)
+            sharp = occ.project_shapes(
+                list(TopologyExplorer(shape).edges()), proj).VCompound()
+            if sharp:
+                sharp_edges = occ.discretize_compound(sharp, args.tol)
+                sewn = hlr.RgNLineVCompound()
+                if sewn:
+                    for edge in occ.discretize_compound(sewn, args.tol):
+                        try:
+                            sharp_edges.remove(edge)
+                        except ValueError:
+                            print("sewn edge assumption broken", name)
+                            break
+                edges += sharp_edges
+            svg_path = os.path.join(args.root, "3view_svg", f"{name}-{i}.svg")
+            save_svg(edges, svg_path, width=args.width, height=args.height)
+            save_png(svg_path, os.path.join(args.root, "3view_png", f"{name}-{i}.png"),
+                     args.width, args.height)
+    except Exception as exc:
+        print(f"{name} 3view failed", exc)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", type=str, default="./data")
+    parser.add_argument("--id_list", type=str, default="None")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--num_cores", type=int, default=5)
+    parser.add_argument("--width", type=int, default=256)
+    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--tol", type=float, default=1e-4)
+    parser.add_argument("--filter_num_shapes", type=int, default=1)
+    parser.add_argument("--filter_num_edges", type=int, default=64)
+    parser.add_argument("--location", nargs="+", type=float, default=[1, 1, 1])
+    parser.add_argument("--direction", nargs="+", type=float, default=[1, 1, 1])
+    parser.add_argument("--focus", type=float, default=3)
+    parser.add_argument("--split", nargs="+", type=float, default=[0.93, 0.02, 0.05])
+    parser.add_argument("--only_split", action="store_true")
+    parser.add_argument("--combine_coedge", action="store_true")
+    parser.add_argument("--order_by_position", action="store_true")
+    parser.add_argument("--direction_token", action="store_true")
+    parser.add_argument("--random_camera", action="store_true")
+    parser.add_argument("--discretize_last", action="store_true")
+    parser.add_argument("--no_face_type", action="store_true")
+    parser.add_argument("--three_view", action="store_true")
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    from faceformer_tpu.tools.occ_pipeline import require_occ
+
+    require_occ()
+
+    np.random.seed(args.seed)
+    for sub in ("json", "svg", "png", "3view_svg", "3view_png"):
+        os.makedirs(os.path.join(args.root, sub), exist_ok=True)
+
+    if os.path.exists(args.id_list):
+        with open(args.id_list) as f:
+            names = json.load(f)
+    else:
+        names = sorted(os.path.splitext(n)[0]
+                       for n in os.listdir(os.path.join(args.root, "step")))
+
+    worker = render_three_views if args.three_view else render_shape
+    if args.name is not None:
+        worker(args.name, args)
+        return
+    if not args.only_split:
+        from concurrent.futures import ProcessPoolExecutor
+
+        if args.num_cores > 1:
+            with ProcessPoolExecutor(max_workers=args.num_cores) as pool:
+                list(pool.map(partial(worker, args=args), names))
+        else:
+            for name in names:
+                worker(name, args)
+    if not args.three_view:
+        prepare_splits(args.root, names, split=tuple(args.split), seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()
