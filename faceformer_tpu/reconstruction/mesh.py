@@ -98,7 +98,74 @@ def ear_clip(poly: np.ndarray) -> List[Tuple[int, int, int]]:
     return triangles
 
 
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    """Proper intersection of open segments p1p2 and p3p4."""
+
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    d1, d2 = orient(p3, p4, p1), orient(p3, p4, p2)
+    d3, d4 = orient(p1, p2, p3), orient(p1, p2, p4)
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+
+def _ring_edges(ring: np.ndarray):
+    n = len(ring)
+    for i in range(n):
+        yield ring[i], ring[(i + 1) % n]
+
+
+def merge_holes(outer: np.ndarray, holes) -> np.ndarray:
+    """Bridge each hole into the outer ring via a mutually visible vertex
+    pair, producing one simple polygon ear_clip can handle (the standard
+    bridge construction; the reference delegates holes to OCC's
+    ShapeFix_Face, reconstruct_to_mesh.py:479-516)."""
+    outer = np.asarray(outer, dtype=float)
+    if polygon_area(outer) < 0:
+        outer = outer[::-1]
+    # process holes right-to-left (classic ordering for bridge insertion)
+    holes = sorted((np.asarray(h, dtype=float) for h in holes),
+                   key=lambda h: -float(h[:, 0].max()))
+    for hole in holes:
+        if polygon_area(hole) > 0:
+            hole = hole[::-1]  # holes run clockwise
+        m = int(np.argmax(hole[:, 0]))
+        mp = hole[m]
+        obstacles = [hole] + [outer]
+        best, best_d = None, np.inf
+        for i, op in enumerate(outer):
+            d = float(np.hypot(*(op - mp)))
+            if d >= best_d:
+                continue
+            blocked = False
+            for ring in obstacles:
+                for a, b in _ring_edges(ring):
+                    if (np.allclose(a, op) or np.allclose(b, op)
+                            or np.allclose(a, mp) or np.allclose(b, mp)):
+                        continue
+                    if _segments_intersect(mp, op, a, b):
+                        blocked = True
+                        break
+                if blocked:
+                    break
+            if not blocked:
+                best, best_d = i, d
+        if best is None:
+            continue  # no visible bridge: leave the hole filled
+        # splice: outer[..best], bridge to hole at m, walk the hole, bridge back
+        hole_walk = np.vstack([hole[m:], hole[: m + 1]])
+        outer = np.vstack([outer[: best + 1], hole_walk, outer[best:]])
+    return outer
+
+
 def _in_triangle(p, a, b, c) -> bool:
+    """Containment test for ear candidates: interior and edge-interior
+    points block an ear; points coincident with an ear vertex do not
+    (required for the duplicated bridge vertices merge_holes introduces)."""
+    for v in (a, b, c):
+        if p[0] == v[0] and p[1] == v[1]:
+            return False
+
     def side(p1, p2, p3):
         return (p1[0] - p3[0]) * (p2[1] - p3[1]) - (p2[0] - p3[0]) * (p1[1] - p3[1])
 
@@ -158,15 +225,18 @@ def _mesh_planar_face(builder: MeshBuilder, result, face_ind: int, face) -> None
     holes = [r for k, r in enumerate(rings) if k != outer and len(r) >= 3]
 
     ring = rings[outer]
+    if holes:
+        ring = merge_holes(ring, holes)
     triangles = ear_clip(ring)
     if holes:
+        # bridge splicing can leave degenerate slivers on pathological
+        # inputs; drop triangles whose centroid landed inside a hole
         kept = []
         for tri in triangles:
             centroid = ring[list(tri)].mean(axis=0)
             if not any(point_in_polygon(centroid, h) for h in holes):
                 kept.append(tri)
         triangles = kept
-        # hole boundaries still contribute their own walls via adjacent faces
     if triangles:
         builder.add_triangles(_lift_with_plane(ring, plane), triangles)
 

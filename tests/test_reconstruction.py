@@ -138,3 +138,25 @@ class TestPLYIO:
         write_ply_points(path, pts)
         back = read_ply_points(path)
         np.testing.assert_allclose(back, pts, atol=1e-9)
+
+
+class TestHoleMerging:
+    def test_square_with_hole(self):
+        from faceformer_tpu.reconstruction.mesh import ear_clip, merge_holes, polygon_area
+        outer = np.array([[0.0, 0], [4, 0], [4, 4], [0, 4]])
+        hole = np.array([[1.0, 1], [1, 3], [3, 3], [3, 1]])  # CW
+        merged = merge_holes(outer, [hole])
+        assert len(merged) == len(outer) + len(hole) + 2  # bridge duplicates
+        tris = ear_clip(merged)
+        area = sum(abs(polygon_area(merged[list(t)])) for t in tris)
+        assert area == pytest.approx(16.0 - 4.0, abs=1e-6)
+
+    def test_two_holes(self):
+        from faceformer_tpu.reconstruction.mesh import ear_clip, merge_holes, polygon_area
+        outer = np.array([[0.0, 0], [8, 0], [8, 4], [0, 4]])
+        h1 = np.array([[1.0, 1], [1, 3], [3, 3], [3, 1]])
+        h2 = np.array([[5.0, 1], [5, 3], [7, 3], [7, 1]])
+        merged = merge_holes(outer, [h1, h2])
+        tris = ear_clip(merged)
+        area = sum(abs(polygon_area(merged[list(t)])) for t in tris)
+        assert area == pytest.approx(32.0 - 8.0, abs=1e-6)
