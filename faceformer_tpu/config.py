@@ -101,6 +101,14 @@ class DecodeConfig:
     mode: str = "reference"
     # keep decoding in bf16 on TPU; fp32 for bit-stable parity checks
     precision: str = "bf16"
+    # anchor_mode (parallel model):
+    #   - "reference": anchors are raw arange(L) WITHOUT the +4 token offset
+    #     (reference model_para.py:201) — anchor row j starts from memory
+    #     row j, so rows 0-3 anchor at special tokens and the last 4 edges
+    #     get no anchor. Required for prediction parity.
+    #   - "aligned": anchor row j starts from edge j's memory row (j + 4),
+    #     covering every edge — an opt-in quality improvement.
+    anchor_mode: str = "reference"
 
 
 @dataclass(frozen=True)

@@ -268,6 +268,7 @@ def greedy_decode_parallel(
     precision: str = "fp32",
     mode: str = "reference",
     early_stop: bool = True,
+    anchor_mode: str = "reference",
 ) -> Dict[str, jnp.ndarray]:
     """Anchor-parallel greedy decode (reference: model_para.py:181-241).
 
@@ -282,12 +283,15 @@ def greedy_decode_parallel(
     t_max = cfg.max_face_length
     query_pos = params["query_pos_table"].astype(dtype)
 
-    # anchors: every edge index, NO +4 offset (reference model_para.py:201);
-    # rows past the sample's real edge count start at the Other/EOS token
-    # (model_para.py:204-205)
+    # anchors: every edge index; "reference" keeps the raw index with NO +4
+    # offset (reference model_para.py:201), "aligned" points each row at its
+    # edge's actual memory row. Rows past the sample's real edge count start
+    # at the Other/EOS token (model_para.py:204-205).
     num_input = batch["num_input"].astype(jnp.int32)  # (N,)
     anchor_ids = jnp.arange(f, dtype=jnp.int32)[None, :]  # (1, F)
-    anchors = jnp.where(anchor_ids < num_input[:, None], anchor_ids, tok.length - 1)
+    offset = tok.length if anchor_mode == "aligned" else 0
+    anchors = jnp.where(anchor_ids < num_input[:, None],
+                        anchor_ids + offset, tok.length - 1)
 
     tokens0 = jnp.full((n, f, t_max), tok.PAD, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(anchors)

@@ -112,9 +112,11 @@ class SurfaceFormerParallel:
         batch: Dict[str, jnp.ndarray],
         precision: str = "fp32",
         mode: str = "reference",
+        anchor_mode: str = "reference",
     ) -> Dict[str, jnp.ndarray]:
         """Anchor-parallel greedy decode (reference: model_para.py:181-241).
         Returns predict (N, F, T) token grids."""
         from faceformer_tpu.decode import greedy_decode_parallel
 
-        return greedy_decode_parallel(params, cfg, batch, precision=precision, mode=mode)
+        return greedy_decode_parallel(params, cfg, batch, precision=precision,
+                                      mode=mode, anchor_mode=anchor_mode)

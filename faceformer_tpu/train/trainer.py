@@ -139,9 +139,12 @@ class Harness:
             model, cfg = self.model, self.cfg
 
             def decode(params, batch):
+                kwargs = {}
+                if getattr(model, "is_parallel", False):
+                    kwargs["anchor_mode"] = cfg.decode.anchor_mode
                 return model.forward_eval(
-                    params, cfg.model, batch,
-                    precision=cfg.decode.precision, mode=cfg.decode.mode)["predict"]
+                    params, cfg.model, batch, precision=cfg.decode.precision,
+                    mode=cfg.decode.mode, **kwargs)["predict"]
 
             self._decode_fn = jax.jit(decode)
         return self._decode_fn

@@ -230,3 +230,20 @@ class TestDecode:
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
         out = fn(params, arrays)
         assert out.shape == (2, tiny_model_cfg.num_lines, tiny_model_cfg.max_face_length)
+
+
+class TestAnchorModes:
+    def test_aligned_anchors(self, tiny_model_cfg, parallel_batch):
+        from faceformer_tpu.decode import greedy_decode_parallel
+
+        batch, _ = parallel_batch
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(6), tiny_model_cfg)
+        out = greedy_decode_parallel(
+            params, tiny_model_cfg, batch, mode="causal_cache",
+            anchor_mode="aligned")
+        grid = np.asarray(out["predict"])
+        tok_len = tiny_model_cfg.token.length
+        for i, num in enumerate(np.asarray(batch["num_input"])):
+            np.testing.assert_array_equal(
+                grid[i, :num, 0], np.arange(num) + tok_len)
+            assert np.all(grid[i, num:, 0] == tok_len - 1)
