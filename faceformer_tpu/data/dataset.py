@@ -54,6 +54,7 @@ class _BaseDataset:
         for info_file in self.info_files:
             with open(os.path.join(root_dir, info_file), "r") as f:
                 self.raw_datas.append(json.load(f))
+        self._cache: Dict[int, Dict] = {}
 
     @classmethod
     def from_samples(cls, samples: Sequence[Dict], config: ModelConfig, names=None):
@@ -63,16 +64,25 @@ class _BaseDataset:
         obj.config = config
         obj.raw_datas = list(samples)
         obj.info_files = list(names) if names else [f"json/{i:08d}.json" for i in range(len(samples))]
+        obj._cache = {}
         return obj
 
     def __len__(self) -> int:
         return len(self.raw_datas)
 
+    def __getitem__(self, index: int) -> Dict:
+        # packing is deterministic: memoize so epochs after the first skip
+        # the host-side resample/pack work entirely (the reference re-packs
+        # every epoch in DataLoader workers)
+        if index not in self._cache:
+            self._cache[index] = self._pack(index)
+        return self._cache[index]
+
 
 class ABCDataset(_BaseDataset):
     """Single-sequence dataset: all faces flattened into one token stream."""
 
-    def __getitem__(self, index: int) -> Dict:
+    def _pack(self, index: int) -> Dict:
         raw = self.raw_datas[index]
         sample = {"id": index, "name": self.info_files[index]}
         sample.update(pack_input_edges(raw["edges"], self.config))
@@ -83,7 +93,7 @@ class ABCDataset(_BaseDataset):
 class ABCDatasetParallel(_BaseDataset):
     """Per-edge-anchor dataset: one label row per loop rotation."""
 
-    def __getitem__(self, index: int) -> Dict:
+    def _pack(self, index: int) -> Dict:
         raw = self.raw_datas[index]
         sample = {"id": index, "name": self.info_files[index]}
         sample.update(pack_input_edges(raw["edges"], self.config))
