@@ -75,6 +75,8 @@ class CheckpointManager:
                 entries.sort(key=lambda e: -e[0])
                 for _, stale in entries[self.top_k:]:
                     shutil.rmtree(stale, ignore_errors=True)
+                    if os.path.exists(stale + ".meta.json"):
+                        os.remove(stale + ".meta.json")
                 self._index["top"] = entries[: self.top_k]
         with open(self._index_path, "w") as f:
             json.dump(self._index, f, indent=1)
