@@ -53,6 +53,9 @@ class ModelConfig:
     dropout: float = 0.2
     activation: str = "relu"
     normalize_before: bool = True
+    # rematerialize per-layer activations in the backward pass
+    # (jax.checkpoint over the scanned layer body) — trades FLOPs for HBM
+    remat: bool = False
     token: TokenConfig = field(default_factory=TokenConfig)
 
 

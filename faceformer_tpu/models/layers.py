@@ -371,8 +371,12 @@ def decoder_layer(
 # ---------------------------------------------------------------------------
 
 
-def _scan_stack(layer_fn, stacked: Params, x: jnp.ndarray, rng: Optional[jax.Array]):
+def _scan_stack(layer_fn, stacked: Params, x: jnp.ndarray, rng: Optional[jax.Array],
+                remat: bool = False):
     n_layers = jax.tree.leaves(stacked)[0].shape[0]
+    if remat:
+        # recompute layer activations in the backward pass (HBM for FLOPs)
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
 
     def body(carry, inputs):
         layer_p, idx = inputs
@@ -394,13 +398,14 @@ def encoder_forward(
     activation: str = "relu",
     normalize_before: bool = True,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full encoder stack + final norm (reference: transformer.py:62-83)."""
     fn = partial(
         _apply_encoder_layer, pos=pos, key_padding_mask=key_padding_mask,
         num_head=num_head, dropout_rate=dropout_rate,
         activation=activation, normalize_before=normalize_before)
-    out = _scan_stack(fn, p["layers"], x, rng)
+    out = _scan_stack(fn, p["layers"], x, rng, remat=remat)
     if normalize_before:
         out = layer_norm(p["norm"], out)
     return out
@@ -425,6 +430,7 @@ def decoder_forward(
     tgt_key_padding_mask: Optional[jnp.ndarray] = None,
     memory_key_padding_mask: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full decoder stack + final norm (reference: transformer.py:86-124;
     the decoder norm exists in both pre/post-LN modes, model.py:42-43)."""
@@ -437,5 +443,5 @@ def decoder_forward(
             tgt_key_padding_mask=tgt_key_padding_mask,
             memory_key_padding_mask=memory_key_padding_mask, rng=layer_rng)
 
-    out = _scan_stack(fn, p["layers"], tgt, rng)
+    out = _scan_stack(fn, p["layers"], tgt, rng, remat=remat)
     return layer_norm(p["norm"], out)

@@ -12,7 +12,7 @@ scale to wider variants (design requirement from the rebuild plan).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

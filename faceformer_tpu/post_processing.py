@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
-
 from faceformer_tpu.geometry.enclosedness import is_face_enclosed
 from faceformer_tpu.geometry.loops import canonicalize_loops
 
