@@ -180,13 +180,14 @@ class Harness:
                     logger.log_scalars(
                         step, {"train_loss": float(loss), "train_cls_acc": float(acc)})
             state.update(params=params, opt_state=opt_state, epoch=epoch + 1, step=step)
+            tree = {"params": params, "opt_state": opt_state,
+                    "epoch": jnp.int32(epoch + 1), "step": jnp.int32(step)}
             if (epoch + 1) % cfg.trainer.checkpoint_period == 0:
                 results = self.validate(params, logger=logger, step=step)
-                ckpts.save(
-                    {"params": params, "opt_state": opt_state},
-                    cfg, epoch + 1, metric_value=results["valid_precision"])
+                ckpts.save(tree, cfg, epoch + 1,
+                           metric_value=results["valid_precision"])
             else:
-                ckpts.save({"params": params, "opt_state": opt_state}, cfg, epoch + 1)
+                ckpts.save(tree, cfg, epoch + 1)
         logger.close()
         return state
 
@@ -213,14 +214,15 @@ class Harness:
             for key in ("precision", "recall", "type_acc", "accuracy",
                         "type_acc_coedge_seq"):
                 agg.setdefault(key, []).extend(out[key])
+        def mean(key):
+            return float(np.mean(agg[key])) if agg.get(key) else 0.0
+
         results = {
-            "valid_precision": float(np.mean(agg["precision"])),
-            "valid_recall": float(np.mean(agg["recall"])),
-            "valid_type_acc": float(np.mean(agg["type_acc"])),
-            "valid_accuracy": float(np.mean(agg["accuracy"])) if agg["accuracy"] else 0.0,
-            "valid_type_acc_coedge_seq": (
-                float(np.mean(agg["type_acc_coedge_seq"]))
-                if agg["type_acc_coedge_seq"] else 0.0),
+            "valid_precision": mean("precision"),
+            "valid_recall": mean("recall"),
+            "valid_type_acc": mean("type_acc"),
+            "valid_accuracy": mean("accuracy"),
+            "valid_type_acc_coedge_seq": mean("type_acc_coedge_seq"),
         }
         if logger is not None:
             logger.log_scalars(step, results)
@@ -286,7 +288,15 @@ class Harness:
             params = jax.tree.map(jnp.asarray, params)
             like["params"] = shard_params(params, self.mesh)
             return like
-        state, _ = load_checkpoint(
-            path, {"params": like["params"], "opt_state": like["opt_state"]})
+        target = {"params": like["params"], "opt_state": like["opt_state"],
+                  "epoch": 0, "step": 0}
+        try:
+            state, _ = load_checkpoint(path, target)
+        except Exception:
+            # older checkpoints carry only params/opt_state
+            state, _ = load_checkpoint(
+                path, {"params": like["params"], "opt_state": like["opt_state"]})
+        state["epoch"] = int(state.get("epoch", 0))
+        state["step"] = int(state.get("step", 0))
         like.update(state)
         return like

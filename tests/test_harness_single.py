@@ -56,10 +56,12 @@ class TestSingleSeqHarness:
     def test_resume_from_checkpoint(self, single_harness):
         ckpt = os.path.join(single_harness.log_dir, "checkpoints", "last")
         state = single_harness.load(ckpt)
-        assert state["epoch"] == 0  # epoch bookkeeping lives outside the tree
+        assert state["epoch"] == 2  # restored from the checkpoint tree
+        assert state["step"] == 4
         # one more epoch from restored params runs clean
-        state = single_harness.fit(state, max_epochs=1)
-        assert state["step"] > 0
+        state = single_harness.fit(state, max_epochs=3)
+        assert state["epoch"] == 3
+        assert state["step"] == 6
 
     def test_steplr_schedule(self, single_harness):
         # lr_step=2 -> epoch 0-1 at lr, epoch 2+ at lr/10
