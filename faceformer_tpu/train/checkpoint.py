@@ -34,22 +34,50 @@ class CheckpointManager:
                 self._index = json.load(f)
 
     # -- low-level tree io ---------------------------------------------------
+    #
+    # Opt states (optax namedtuples) are flattened to keyed leaves before the
+    # orbax save and rebuilt against the caller's tree structure on restore.
+    # Restores never pass a target tree: StandardCheckpointer's targeted
+    # restore deadlocks once the axon TPU backend is initialized (verified on
+    # this platform); the untargeted PyTreeCheckpointer path is safe.
+
+    @staticmethod
+    def _freeze(tree: Dict[str, Any]) -> Dict[str, Any]:
+        out = dict(tree)
+        if "opt_state" in out:
+            leaves = jax.tree.leaves(out.pop("opt_state"))
+            out["opt_state_leaves"] = {f"{i:05d}": leaf for i, leaf in enumerate(leaves)}
+        return out
+
+    @staticmethod
+    def _thaw(tree: Dict[str, Any], like: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+        out = dict(tree)
+        flat = out.pop("opt_state_leaves", None)
+        if flat is not None and like is not None and "opt_state" in like:
+            leaves = [flat[k] for k in sorted(flat)]
+            out["opt_state"] = jax.tree.unflatten(
+                jax.tree.structure(like["opt_state"]), leaves)
+        elif "opt_state" in out and like is not None and "opt_state" in like:
+            # legacy nested-dict save: leaf order matches sorted-key flatten
+            out["opt_state"] = jax.tree.unflatten(
+                jax.tree.structure(like["opt_state"]), jax.tree.leaves(out["opt_state"]))
+        return out
 
     @staticmethod
     def save_tree(path: str, tree: Dict[str, Any]) -> None:
         import orbax.checkpoint as ocp
 
-        with ocp.StandardCheckpointer() as ckptr:
+        tree = jax.tree.map(np.asarray, CheckpointManager._freeze(tree))
+        with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(path), tree, force=True)
 
     @staticmethod
     def restore_tree(path: str, like: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         import orbax.checkpoint as ocp
 
-        with ocp.StandardCheckpointer() as ckptr:
-            if like is not None:
-                like = jax.tree.map(np.asarray, like)
-            return ckptr.restore(os.path.abspath(path), like)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            raw = ckptr.restore(os.path.abspath(path))
+        return CheckpointManager._thaw(raw, like)
 
     # -- manager API -----------------------------------------------------------
 

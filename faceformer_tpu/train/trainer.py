@@ -205,6 +205,7 @@ class Harness:
         ds, batches = self._eval_batches("valid")
         decode = self.decode_fn()
         agg: Dict[str, List[float]] = {}
+        text_dumps = 0
         for batch in batches:
             predict = np.asarray(
                 decode(params, shard_batch(_device_batch(batch), self.mesh)))
@@ -214,6 +215,17 @@ class Harness:
             for key in ("precision", "recall", "type_acc", "accuracy",
                         "type_acc_coedge_seq"):
                 agg.setdefault(key, []).extend(out[key])
+            if logger is not None and text_dumps < 4:
+                # qualitative pred-vs-label dumps (reference trainer.py:100-101)
+                for pred, label, prec in zip(out["predictions"], out["labels"],
+                                             out["precision"]):
+                    logger.log_text(
+                        "result",
+                        f"pred: {pred} \n\n label: {label} \n\n precision: {prec}",
+                        step + text_dumps)
+                    text_dumps += 1
+                    if text_dumps >= 4:
+                        break
         def mean(key):
             return float(np.mean(agg[key])) if agg.get(key) else 0.0
 
@@ -288,14 +300,8 @@ class Harness:
             params = jax.tree.map(jnp.asarray, params)
             like["params"] = shard_params(params, self.mesh)
             return like
-        target = {"params": like["params"], "opt_state": like["opt_state"],
-                  "epoch": 0, "step": 0}
-        try:
-            state, _ = load_checkpoint(path, target)
-        except Exception:
-            # older checkpoints carry only params/opt_state
-            state, _ = load_checkpoint(
-                path, {"params": like["params"], "opt_state": like["opt_state"]})
+        state, _ = load_checkpoint(
+            path, {"params": like["params"], "opt_state": like["opt_state"]})
         state["epoch"] = int(state.get("epoch", 0))
         state["step"] = int(state.get("step", 0))
         like.update(state)
