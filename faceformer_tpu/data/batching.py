@@ -32,17 +32,25 @@ def iter_batches(
     seed: int = 0,
     epoch: int = 0,
     pad_to_full: bool = False,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Iterate collated batches.
 
     pad_to_full repeats the last sample to fill a ragged final batch and adds
     a boolean ``sample_valid`` field so metrics can ignore the padding — the
     static-shape-friendly alternative to ragged final batches on TPU.
+
+    process_index/process_count shard the (epoch-shuffled) sample order
+    across hosts for multi-process (DCN-scale) training: every host sees a
+    disjoint stripe but the same global permutation.
     """
     order = np.arange(len(dataset))
     if shuffle:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         rng.shuffle(order)
+    if process_count > 1:
+        order = order[process_index::process_count]
     for start in range(0, len(order), batch_size):
         idx: List[int] = order[start : start + batch_size].tolist()
         if len(idx) < batch_size:

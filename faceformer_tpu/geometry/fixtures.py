@@ -150,11 +150,46 @@ def _ring_loop(points: np.ndarray) -> List[np.ndarray]:
     return [np.stack([points[i], points[(i + 1) % n]]) for i in range(n)]
 
 
+def make_plate_with_hole(a: float = 1.6, b: float = 1.2, height: float = 0.4,
+                         hole_w: float = 0.6, hole_d: float = 0.4):
+    """Rectangular plate with a rectangular through-hole: the top and bottom
+    faces carry TWO loops each (outer boundary + hole boundary) — the
+    multi-loop face case the reference's ABC data contains."""
+    outer = np.array([[-a / 2, -b / 2], [a / 2, -b / 2],
+                      [a / 2, b / 2], [-a / 2, b / 2]])
+    hole = np.array([[-hole_w / 2, -hole_d / 2], [hole_w / 2, -hole_d / 2],
+                     [hole_w / 2, hole_d / 2], [-hole_w / 2, hole_d / 2]])
+    z0, z1 = -height / 2, height / 2
+
+    def ring3d(poly2d, z):
+        return np.concatenate([poly2d, np.full((len(poly2d), 1), z)], axis=1)
+
+    ob, ot = ring3d(outer, z0), ring3d(outer, z1)
+    hb, ht = ring3d(hole, z0), ring3d(hole, z1)
+
+    faces = [
+        # bottom: outer loop one way + hole loop the other (coherent with
+        # the side/wall traversals)
+        (PLANE, [_ring_loop(ob[::-1]), _ring_loop(hb)]),
+        # top: outer loop + hole loop reversed
+        (PLANE, [_ring_loop(ot), _ring_loop(ht[::-1])]),
+    ]
+    for i in range(4):
+        j = (i + 1) % 4
+        faces.append((PLANE, [_ring_loop(np.array([ob[i], ob[j], ot[j], ot[i]]))]))
+    for i in range(4):
+        j = (i + 1) % 4
+        # hole walls traverse opposite the outer sides' convention
+        faces.append((PLANE, [_ring_loop(np.array([hb[j], hb[i], ht[i], ht[j]]))]))
+    return faces
+
+
 SOLID_BUILDERS = {
     "box": make_box,
     "prism": make_prism,
     "lblock": make_lblock,
     "cylinder": make_cylinder,
+    "plate_with_hole": make_plate_with_hole,
 }
 
 
@@ -351,6 +386,10 @@ def random_sample(rng: np.random.Generator, coedge: bool = True,
             faces = make_prism(int(rng.integers(3, 8)), rng.uniform(0.4, 1.0), rng.uniform(0.5, 1.5))
         elif kind == "lblock":
             faces = make_lblock(rng.uniform(0.8, 1.4), rng.uniform(0.8, 1.4), rng.uniform(0.25, 0.55), rng.uniform(0.5, 1.2))
+        elif kind == "plate_with_hole":
+            faces = make_plate_with_hole(
+                rng.uniform(1.2, 1.8), rng.uniform(0.9, 1.4), rng.uniform(0.3, 0.6),
+                rng.uniform(0.4, 0.7), rng.uniform(0.3, 0.5))
         else:
             faces = make_cylinder(rng.uniform(0.3, 0.8), rng.uniform(0.6, 1.6), split_axis=rng.uniform(0, np.pi))
         theta = float(rng.uniform(0, 360))

