@@ -25,7 +25,7 @@ def tiny_model_cfg() -> ModelConfig:
     """Small dims for fast tests; token table matches the reference."""
     return ModelConfig(
         num_points_per_line=8,
-        num_lines=40,
+        num_lines=56,  # fits every fixture solid (plate_with_hole: 48 coedges)
         point_dim=2,
         label_seq_length=64,
         max_num_faces=12,

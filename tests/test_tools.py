@@ -112,3 +112,31 @@ class TestSVG:
     def test_groups(self):
         svg = render_svg_groups([[[[0.0, 0.0], [1.0, 0.0]]], [[[1.0, 0.0], [1.0, 1.0]]]])
         assert svg.count("<polyline") == 2
+
+
+class TestPredictCLI:
+    def test_label_free_prediction(self, tmp_path, tiny_model_cfg):
+        import json
+
+        from faceformer_tpu.config import Config, DecodeConfig, TrainerConfig
+        from faceformer_tpu.geometry.fixtures import random_sample
+        from faceformer_tpu.tools.predict import predict_faces
+        from faceformer_tpu.train.trainer import Harness
+
+        cfg = Config(
+            model_class="SurfaceFormer_Parallel",
+            dataset_class="ABCDataset_Parallel",
+            batch_size_valid=2,
+            trainer=TrainerConfig(num_devices=2, precision="fp32"),
+            model=tiny_model_cfg,
+            decode=DecodeConfig(mode="causal_cache", precision="fp32"),
+        )
+        harness = Harness(cfg)
+        state = harness.init_state()
+        rng = np.random.default_rng(5)
+        samples = [random_sample(rng) for _ in range(3)]
+        preds = predict_faces(harness, state["params"], samples)
+        assert len(preds) == 3
+        for faces in preds:
+            for ftype, indices in faces:
+                assert isinstance(indices, tuple)
