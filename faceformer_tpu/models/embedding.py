@@ -43,6 +43,42 @@ def vanilla_embedding(p: Params, coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([token_embed, edge_embed], axis=1)
 
 
+def sinusoidal_position_encoding(max_len: int, num_model: int) -> jnp.ndarray:
+    """Fixed sin/cos position table (Attention-is-all-you-need convention).
+    Present for capability parity — the reference defines it but its models
+    use learned positions instead (reference: embedding.py:68-87)."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, num_model, 2, dtype=jnp.float32)
+                  * (-jnp.log(10000.0) / num_model))
+    pe = jnp.zeros((max_len, num_model))
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+    return pe
+
+
+def init_coordinate_embedding(key, num_axes: int, num_bits: int, num_embed: int,
+                              num_model: int, dependent_embed: bool = False) -> Params:
+    """Quantized-coordinate embedding (reference: embedding.py:41-65).
+    Present for capability parity; the shipped models embed raw sampled
+    points through the MLP instead."""
+    ntoken = 2 ** num_bits if dependent_embed else (2 ** num_bits) * num_axes
+    kt, kv, kp = jax.random.split(key, 3)
+    return {
+        "token_table": xavier_uniform(kt, 3, num_model),
+        "value_table": xavier_uniform(kv, ntoken, num_embed),
+        "proj": xavier_uniform(kp, num_axes * num_embed, num_model),
+    }
+
+
+def coordinate_embedding(p: Params, coords: jnp.ndarray) -> jnp.ndarray:
+    """(N, S, A) integer-quantized coords -> (N, 3+S, E)."""
+    n, s, _ = coords.shape
+    token_embed = jnp.broadcast_to(p["token_table"][None], (n, 3, p["token_table"].shape[1]))
+    value = p["value_table"][coords]  # (N, S, A, num_embed)
+    coord_embed = value.reshape(n, s, -1) @ p["proj"]
+    return jnp.concatenate([token_embed, coord_embed], axis=1)
+
+
 def init_position_table(key, max_len: int, num_model: int) -> jnp.ndarray:
     """Learned absolute positions. The reference initializes these
     kaiming-normal then immediately overwrites with xavier-uniform via the
