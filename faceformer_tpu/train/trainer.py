@@ -165,6 +165,7 @@ class Harness:
 
         params, opt_state = state["params"], state["opt_state"]
         step = state["step"]
+        pending = None  # (step, loss, acc) of the previous step, still on device
         for epoch in range(state["epoch"], max_epochs):
             if self._epoch_schedule is not None:
                 opt_state.hyperparams["learning_rate"] = jnp.asarray(
@@ -176,9 +177,20 @@ class Harness:
                 params, opt_state, loss, acc = step_fn(
                     params, opt_state, shard_batch(_device_batch(batch), self.mesh), sub)
                 step += 1
-                if step % cfg.trainer.log_every_n_steps == 0:
+                # lag-1 logging: fetch the PREVIOUS step's scalars after the
+                # current step is dispatched, so the device->host sync
+                # overlaps compute (a per-step blocking float() serializes
+                # the loop — costly on network-tunneled devices)
+                if pending is not None and pending[0] % cfg.trainer.log_every_n_steps == 0:
                     logger.log_scalars(
-                        step, {"train_loss": float(loss), "train_cls_acc": float(acc)})
+                        pending[0],
+                        {"train_loss": float(pending[1]), "train_cls_acc": float(pending[2])})
+                pending = (step, loss, acc)
+            if pending is not None and pending[0] % cfg.trainer.log_every_n_steps == 0:
+                logger.log_scalars(
+                    pending[0],
+                    {"train_loss": float(pending[1]), "train_cls_acc": float(pending[2])})
+                pending = None
             state.update(params=params, opt_state=opt_state, epoch=epoch + 1, step=step)
             tree = {"params": params, "opt_state": opt_state,
                     "epoch": jnp.int32(epoch + 1), "step": jnp.int32(step)}
