@@ -87,8 +87,26 @@ def _cross_kv(params: Params, memory: jnp.ndarray, pos: jnp.ndarray, num_head: i
 
 
 def _attend(q, k, v, key_padding_mask, num_head):
-    """One-query attention: q (..., 1, H, hd), k/v (..., S, H, hd)."""
+    """One-query attention: q (..., 1, H, hd), k/v (..., S, H, hd).
+
+    When K/V carry a size-1 broadcast dim against q's anchor axis
+    (q (N, F, 1, H, hd) vs k (N, 1, S, H, hd)), the anchor axis is folded
+    into the query-sequence axis so the contraction is a clean batched GEMM.
+    Leaving it to einsum broadcasting materializes K/V per anchor — measured
+    ~N*F*S*E bytes of HBM traffic per step, the decode bottleneck."""
     head_dim = q.shape[-1]
+    if (q.ndim == 5 and k.ndim == 5 and k.shape[1] == 1 and q.shape[1] > 1
+            and q.shape[2] == 1):
+        q2 = q[:, :, 0] * head_dim ** -0.5  # (N, F, H, hd)
+        k2, v2 = k[:, 0], v[:, 0]  # (N, S, H, hd)
+        scores = jnp.einsum("nfhd,nshd->nhfs", q2, k2,
+                            preferred_element_type=jnp.float32)
+        if key_padding_mask is not None:
+            pad = key_padding_mask.reshape(key_padding_mask.shape[0], 1, 1, -1)
+            scores = jnp.where(pad, L.big_neg(scores.dtype), scores)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("nhfs,nshd->nfhd", probs, v2)
+        return out[:, :, None]  # (N, F, 1, H, hd)
     scores = jnp.einsum("...qhd,...khd->...hqk", q * head_dim ** -0.5, k,
                         preferred_element_type=jnp.float32)
     if key_padding_mask is not None:

@@ -212,6 +212,20 @@ def _split_heads(x: jnp.ndarray, num_head: int) -> jnp.ndarray:
     return x.reshape(*batch, s, num_head, e // num_head)
 
 
+def _attend_folded(q, k, v, key_padding_mask, dropout_rate, rng):
+    """Batched-GEMM attention with pre-scaled q: q (N, Q, H, hd),
+    k/v (N, S, H, hd), key padding (*, S) broadcastable over (N, 1, 1, S).
+    Returns (N, Q, H, hd)."""
+    scores = jnp.einsum("nqhd,nshd->nhqs", q, k,
+                        preferred_element_type=jnp.float32)
+    if key_padding_mask is not None:
+        pad = key_padding_mask.reshape(key_padding_mask.shape[0], 1, 1, -1)
+        scores = jnp.where(pad, big_neg(scores.dtype), scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = dropout(probs, dropout_rate, rng)
+    return jnp.einsum("nhqs,nshd->nqhd", probs.astype(q.dtype), v)
+
+
 def multihead_attention(
     p: Params,
     query: jnp.ndarray,
@@ -241,6 +255,19 @@ def multihead_attention(
                                    key_padding_mask, dropout_rate, rng)
     if fused is not None:
         return linear({"w": p["wo"], "b": p["bo"]}, fused)
+
+    # anchor-broadcast cross-attention: q (N, F, T, H, hd) against shared
+    # k/v (N, 1, S, H, hd). Fold F into the query-sequence axis so the
+    # contraction is one batched GEMM per (N, H) — einsum broadcasting here
+    # would materialize K/V per anchor (N*F*S*E bytes of HBM traffic).
+    if (q.ndim == 5 and k.ndim == 5 and k.shape[1] == 1 and q.shape[1] > 1
+            and attn_mask is None):
+        n, f, t, h, hd = q.shape
+        out = _attend_folded(
+            q.reshape(n, f * t, h, hd) * (head_dim ** -0.5), k[:, 0], v[:, 0],
+            key_padding_mask, dropout_rate, rng)
+        out = out.reshape(n, f, t, h * hd)
+        return linear({"w": p["wo"], "b": p["bo"]}, out)
 
     q = q * (head_dim ** -0.5)
 
