@@ -178,20 +178,36 @@ def _is_causal_mask(mask) -> bool:
 
 def _maybe_fused_attention(q, k, v, num_head, attn_mask, key_padding_mask,
                            dropout_rate, rng):
-    """Route eligible attention calls to the Pallas kernel: dropout-free,
-    identical q/k batch dims (self-attn or materialized cross), and an
-    attn_mask that is either absent or the causal constant. Returns None
+    """Route eligible attention calls to the flash Pallas kernel (forward +
+    custom VJP, so it works under jax.grad): dropout-free, and an attn_mask
+    that is either absent or the causal constant. Broadcast-KV cross
+    attention folds its anchor axis into the query sequence. Returns None
     when the XLA path should run instead."""
     from faceformer_tpu import ops
 
     if not ops.enabled() or (rng is not None and dropout_rate > 0.0):
         return None
-    if q.shape[:-3] != k.shape[:-3]:
-        return None  # broadcast-KV (anchor axis) stays on the XLA path
     causal = attn_mask is not None and _is_causal_mask(attn_mask)
     if attn_mask is not None and not causal:
         return None
-    from faceformer_tpu.ops.attention import fused_attention
+    from faceformer_tpu.ops.flash import flash_attention, padding_mask_bias
+
+    broadcast_kv = (q.ndim == 5 and k.ndim == 5 and k.shape[1] == 1
+                    and q.shape[1] > 1)
+    if broadcast_kv and causal:
+        return None  # folding would break causal structure
+    if not broadcast_kv and q.shape[:-3] != k.shape[:-3]:
+        return None
+
+    if broadcast_kv:
+        n, f, t, h, hd = q.shape
+        sk = k.shape[2]
+        q2, k2, v2 = q.reshape(n, f * t, h, hd), k[:, 0], v[:, 0]
+        kp = (jnp.zeros((n, sk), bool) if key_padding_mask is None
+              else jnp.broadcast_to(key_padding_mask, (n, 1, sk)).reshape(n, sk))
+        out = flash_attention(q2, k2, v2, padding_mask_bias(kp), causal,
+                              ops.interpret_mode())
+        return out.reshape(n, f, t, h * hd)
 
     *batch, sq, h, hd = q.shape
     sk = k.shape[-3]
@@ -200,10 +216,10 @@ def _maybe_fused_attention(q, k, v, num_head, attn_mask, key_padding_mask,
         kp = jnp.zeros((n, sk), dtype=bool)
     else:
         kp = jnp.broadcast_to(key_padding_mask, (*batch, sk)).reshape(n, sk)
-    out = fused_attention(
+    out = flash_attention(
         q.reshape(n, sq, h, hd), k.reshape(n, sk, h, hd),
-        v.reshape(n, sk, h, hd), kp, num_head=num_head, causal=causal,
-        interpret=ops.interpret_mode())
+        v.reshape(n, sk, h, hd), padding_mask_bias(kp), causal,
+        ops.interpret_mode())
     return out.reshape(*batch, sq, h * hd)
 
 

@@ -1,0 +1,107 @@
+"""Flash-attention custom-VJP kernel: forward + gradient parity against the
+XLA reference implementation (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from faceformer_tpu.ops.flash import flash_attention, padding_mask_bias
+
+
+def reference(q, k, v, bias, causal=False):
+    hd = q.shape[-1]
+    s = jnp.einsum("nqhd,nkhd->nhqk", q, k) * hd ** -0.5
+    s = s + bias[:, None, None, :]
+    if causal:
+        sq, sk = s.shape[-2:]
+        cm = jnp.triu(jnp.ones((sq, sk), bool), k=1)
+        s = jnp.where(cm, jnp.finfo(jnp.float32).min, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("nhqk,nkhd->nqhd", p, v)
+
+
+@pytest.fixture(scope="module")
+def inputs(rng):
+    n, sq, sk, h, hd = 2, 13, 21, 4, 16
+    q = jnp.asarray(rng.standard_normal((n, sq, h, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((n, sk, h, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, sk, h, hd)), jnp.float32)
+    pad = np.zeros((n, sk), bool)
+    pad[:, 17:] = True
+    bias = padding_mask_bias(jnp.asarray(pad))
+    return q, k, v, bias
+
+
+class TestFlashForward:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_reference(self, inputs, causal):
+        q, k, v, bias = inputs
+        got = flash_attention(q, k, v, bias, causal, True)
+        want = reference(q, k, v, bias, causal)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestFlashBackward:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_autodiff(self, inputs, causal):
+        q, k, v, bias = inputs
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, bias, causal, True)
+            return jnp.sum(jnp.sin(out))  # nontrivial cotangents
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(reference(q, k, v, bias, causal)))
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_flash, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5,
+                err_msg=f"grad mismatch for {name}")
+
+    def test_value_and_grad_jits(self, inputs):
+        q, k, v, bias = inputs
+
+        @jax.jit
+        def f(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, bias, False, True) ** 2)
+
+        val, grads = jax.value_and_grad(f)(q, k, v)
+        assert np.isfinite(float(val))
+
+
+class TestFlashInModel:
+    def test_train_grads_match_xla_path(self, tiny_model_cfg):
+        """Full-model gradients with flash routing on vs off (dropout 0)."""
+        from faceformer_tpu import ops
+        from faceformer_tpu.data.batching import collate
+        from faceformer_tpu.data.dataset import ABCDatasetParallel
+        from faceformer_tpu.geometry.fixtures import build_sample, make_box
+        from faceformer_tpu.models.parallel import SurfaceFormerParallel
+        from faceformer_tpu.train.loss import pointer_cross_entropy
+
+        sample = build_sample(make_box(), theta=25.0, phi=45.0)
+        ds = ABCDatasetParallel.from_samples([sample], tiny_model_cfg)
+        batch = collate([ds[0]])
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(0), tiny_model_cfg)
+
+        def loss_fn(p):
+            out = SurfaceFormerParallel.forward_train(p, tiny_model_cfg, batch)
+            return pointer_cross_entropy(out, tiny_model_cfg.token)[0]
+
+        g_base = jax.grad(loss_fn)(params)
+        ops.enable(True)
+        try:
+            g_flash = jax.grad(loss_fn)(params)
+        finally:
+            ops.enable(False)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_base)[0],
+            jax.tree_util.tree_flatten_with_path(g_flash)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4,
+                err_msg=f"grad mismatch at {path}")
