@@ -185,12 +185,22 @@ def _maybe_fused_attention(q, k, v, num_head, attn_mask, key_padding_mask,
     when the XLA path should run instead."""
     from faceformer_tpu import ops
 
-    if not ops.enabled() or (rng is not None and dropout_rate > 0.0):
+    if not ops.enabled():
         return None
     causal = attn_mask is not None and _is_causal_mask(attn_mask)
     if attn_mask is not None and not causal:
         return None
     from faceformer_tpu.ops.flash import flash_attention, padding_mask_bias
+
+    # dropout runs inside the kernel (compiled TPU only: the PRNG primitives
+    # have no interpreter lowering), seeded from the layer rng
+    rate = float(dropout_rate) if rng is not None else 0.0
+    if rate > 0.0 and ops.interpret_mode():
+        return None
+    seed = None
+    if rate > 0.0:
+        seed = (jax.random.bits(rng, (1,), "uint32") & jnp.uint32(0xFFFFFF)
+                ).astype(jnp.float32)
 
     broadcast_kv = (q.ndim == 5 and k.ndim == 5 and k.shape[1] == 1
                     and q.shape[1] > 1)
@@ -205,8 +215,8 @@ def _maybe_fused_attention(q, k, v, num_head, attn_mask, key_padding_mask,
         q2, k2, v2 = q.reshape(n, f * t, h, hd), k[:, 0], v[:, 0]
         kp = (jnp.zeros((n, sk), bool) if key_padding_mask is None
               else jnp.broadcast_to(key_padding_mask, (n, 1, sk)).reshape(n, sk))
-        out = flash_attention(q2, k2, v2, padding_mask_bias(kp), causal,
-                              ops.interpret_mode())
+        out = flash_attention(q2, k2, v2, padding_mask_bias(kp), seed,
+                              causal, ops.interpret_mode(), rate)
         return out.reshape(n, f, t, h * hd)
 
     *batch, sq, h, hd = q.shape
@@ -218,8 +228,8 @@ def _maybe_fused_attention(q, k, v, num_head, attn_mask, key_padding_mask,
         kp = jnp.broadcast_to(key_padding_mask, (*batch, sk)).reshape(n, sk)
     out = flash_attention(
         q.reshape(n, sq, h, hd), k.reshape(n, sk, h, hd),
-        v.reshape(n, sk, h, hd), padding_mask_bias(kp), causal,
-        ops.interpret_mode())
+        v.reshape(n, sk, h, hd), padding_mask_bias(kp), seed, causal,
+        ops.interpret_mode(), rate)
     return out.reshape(*batch, sq, h * hd)
 
 

@@ -13,8 +13,12 @@ and can reach tens of thousands of rows — is tiled over the grid. The
 backward pass accumulates dK/dV across query blocks by revisiting the same
 output block over sequential grid steps.
 
-Dropout on attention probabilities is not supported; callers route
-dropout-active calls to the XLA path (dropout + remat).
+Attention-probability dropout runs INSIDE the kernels: both passes reseed
+the TPU PRNG with the same per-block seed and regenerate identical keep
+masks, so no mask tensor is ever materialized. (The reference applies
+dropout to attention probabilities, transformer.py:146-156 via
+nn.MultiheadAttention.) The PRNG primitives have no interpreter lowering
+on this platform, so dropout parity tests are TPU-only.
 """
 
 from __future__ import annotations
@@ -53,34 +57,53 @@ def _scores(q, k, bias_row, scale, causal, sq_block):
     return s
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
-                *, scale, causal, sq_block):
+def _keep_mask(seed_ref, shape, rate):
+    """Deterministic per-block bernoulli keep mask from the TPU PRNG."""
+    block = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + block)
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32((1.0 - rate) * 4294967296.0)
+    return pltpu.bitcast(bits, jnp.uint32) < threshold
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, out_ref, lse_ref,
+                *, scale, causal, sq_block, dropout_rate):
     s = _scores(q_ref[0], k_ref[0], bias_ref[0], scale, causal, sq_block)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     # lse broadcast across the lane dim (single-lane outputs tile poorly)
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(denom), lse_ref[0].shape)
-    p = (e / denom).astype(v_ref.dtype)
+    p = e / denom
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     out_ref[0] = jax.lax.dot_general(
-        p, v_ref[0], (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, causal, sq_block):
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, lse_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, causal, sq_block, dropout_rate):
     s = _scores(q_ref[0], k_ref[0], bias_ref[0], scale, causal, sq_block)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # masked cols underflow to 0
+    p = jnp.exp(s - lse_ref[0][:, :1])  # pre-dropout probs; masked cols -> 0
     do = do_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
 
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (SQ, Sk)
-    out = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * out, axis=-1, keepdims=True)
+    # dp~ = dO V^T is the gradient wrt the (possibly dropped) probabilities;
+    # the same keep mask regenerates from the same per-block seed
+    dpt = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (SQ, Sk)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
+        p_used = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        dp = jnp.where(keep, dpt / (1.0 - dropout_rate), 0.0)
+    else:
+        p_used = p
+        dp = dpt
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - delta) * scale
 
     dq_ref[0] = jax.lax.dot_general(
@@ -91,7 +114,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
     # dk/dv block for every j, sequentially on TPU
     dk_part = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-    dv_part = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    dv_part = jax.lax.dot_general(p_used, do, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(1) == 0)
@@ -126,25 +149,30 @@ def _prepare(q, k, v, bias):
             (sq_pad, sk_pad, hd_pad, sq_block))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention(q, k, v, bias, causal=False, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention(q, k, v, bias, seed=None, causal=False, interpret=False,
+                    dropout_rate=0.0):
     """softmax(q k^T / sqrt(hd) + bias) v with flash residuals.
 
     q (N, Sq, H, hd); k/v (N, Sk, H, hd); bias (N, Sk) float additive mask
     (0 for valid keys, the dtype minimum for padded ones; treated as a
-    constant — zero cotangent). Returns (N, Sq, H, hd)."""
-    out, _ = _flash_fwd_impl(q, k, v, bias, causal, interpret)
+    constant — zero cotangent). seed: (1,) float32 PRNG seed material for
+    in-kernel dropout (required when dropout_rate > 0; zero cotangent).
+    Returns (N, Sq, H, hd)."""
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.float32)
+    out, _ = _flash_fwd_impl(q, k, v, bias, seed, causal, interpret, dropout_rate)
     return out
 
 
-def _flash_fwd_impl(q, k, v, bias, causal, interpret):
+def _flash_fwd_impl(q, k, v, bias, seed, causal, interpret, dropout_rate):
     n, sq, h, hd = q.shape
     scale = hd ** -0.5
     qf, kf, vf, biasf, (sq_pad, sk_pad, hd_pad, sq_block) = _prepare(q, k, v, bias)
     grid = (n * h, sq_pad // sq_block)
 
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                               sq_block=sq_block)
+                               sq_block=sq_block, dropout_rate=dropout_rate)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -153,6 +181,7 @@ def _flash_fwd_impl(q, k, v, bias, causal, interpret):
             pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, sq_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -163,19 +192,21 @@ def _flash_fwd_impl(q, k, v, bias, causal, interpret):
             jax.ShapeDtypeStruct((n * h, sq_pad, LANE), jnp.float32),
         ),
         interpret=interpret,
-    )(qf, kf, vf, biasf)
+    )(qf, kf, vf, biasf, seed)
 
     out4 = out.reshape(n, h, sq_pad, hd_pad).transpose(0, 2, 1, 3)[:, :sq, :, :hd]
     return out4, lse
 
 
-def _flash_fwd(q, k, v, bias, causal, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, bias, causal, interpret)
-    return out, (q, k, v, bias, lse)
+def _flash_fwd(q, k, v, bias, seed, causal, interpret, dropout_rate):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.float32)
+    out, lse = _flash_fwd_impl(q, k, v, bias, seed, causal, interpret, dropout_rate)
+    return out, (q, k, v, bias, seed, lse)
 
 
-def _flash_bwd(causal, interpret, residuals, g):
-    q, k, v, bias, lse = residuals
+def _flash_bwd(causal, interpret, dropout_rate, residuals, g):
+    q, k, v, bias, seed, lse = residuals
     n, sq, h, hd = q.shape
     sk = k.shape[1]
     scale = hd ** -0.5
@@ -184,7 +215,7 @@ def _flash_bwd(causal, interpret, residuals, g):
     grid = (n * h, sq_pad // sq_block)
 
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                               sq_block=sq_block)
+                               sq_block=sq_block, dropout_rate=dropout_rate)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
@@ -193,6 +224,7 @@ def _flash_bwd(causal, interpret, residuals, g):
             pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, sq_block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sq_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
@@ -207,15 +239,16 @@ def _flash_bwd(causal, interpret, residuals, g):
             jax.ShapeDtypeStruct((n * h, sk_pad, hd_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(qf, kf, vf, biasf, lse, gf)
+    )(qf, kf, vf, biasf, seed, lse, gf)
 
     def unfold(x, s_orig, s_pad):
         return x.reshape(n, h, s_pad, hd_pad).transpose(0, 2, 1, 3)[:, :s_orig, :, :hd]
 
-    # bias is a mask, not a parameter: zero cotangent by design
+    # bias is a mask and seed is RNG material: zero cotangents by design
     return (unfold(dq, sq, sq_pad), unfold(dk, sk, sk_pad).astype(k.dtype),
             unfold(dv, sk, sk_pad).astype(v.dtype),
-            jnp.zeros_like(bias, dtype=jnp.float32))
+            jnp.zeros_like(bias, dtype=jnp.float32),
+            jnp.zeros_like(seed))
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -38,7 +38,7 @@ class TestFlashForward:
     @pytest.mark.parametrize("causal", [False, True])
     def test_matches_reference(self, inputs, causal):
         q, k, v, bias = inputs
-        got = flash_attention(q, k, v, bias, causal, True)
+        got = flash_attention(q, k, v, bias, causal=causal, interpret=True)
         want = reference(q, k, v, bias, causal)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
@@ -49,7 +49,7 @@ class TestFlashBackward:
         q, k, v, bias = inputs
 
         def loss_flash(q, k, v):
-            out = flash_attention(q, k, v, bias, causal, True)
+            out = flash_attention(q, k, v, bias, causal=causal, interpret=True)
             return jnp.sum(jnp.sin(out))  # nontrivial cotangents
 
         def loss_ref(q, k, v):
@@ -67,7 +67,7 @@ class TestFlashBackward:
 
         @jax.jit
         def f(q, k, v):
-            return jnp.sum(flash_attention(q, k, v, bias, False, True) ** 2)
+            return jnp.sum(flash_attention(q, k, v, bias, causal=False, interpret=True) ** 2)
 
         val, grads = jax.value_and_grad(f)(q, k, v)
         assert np.isfinite(float(val))
@@ -105,3 +105,37 @@ class TestFlashInModel:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=5e-4,
                 err_msg=f"grad mismatch at {path}")
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel dropout needs the compiled TPU PRNG")
+class TestFlashDropoutTPU:
+    def test_deterministic_and_mean_preserving(self, inputs):
+        q, k, v, bias = inputs
+        seed = jnp.asarray([42.0], jnp.float32)
+        a = flash_attention(q, k, v, bias, seed, False, False, 0.2)
+        b = flash_attention(q, k, v, bias, seed, False, False, 0.2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # different seed -> different mask
+        c = flash_attention(q, k, v, bias, jnp.asarray([43.0], jnp.float32),
+                            False, False, 0.2)
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_directional_gradient(self, inputs):
+        """Finite-difference check: dropout is deterministic given the seed,
+        so the custom VJP must match the numerical directional derivative.
+        fp32 matmul precision keeps FD noise below the tolerance (default
+        bf16 matmuls add ~1e-2 relative noise; verified 1e-4 at fp32)."""
+        q, k, v, bias = inputs
+        seed = jnp.asarray([11.0], jnp.float32)
+        rng = np.random.default_rng(1)
+        dq = jnp.asarray(rng.standard_normal(q.shape) * 1e-3, jnp.float32)
+
+        def f(qq):
+            return jnp.sum(flash_attention(qq, k, v, bias, seed, False, False, 0.2))
+
+        with jax.default_matmul_precision("float32"):
+            g = jax.grad(f)(q)
+            analytic = float(jnp.sum(g * dq))
+            numeric = float((f(q + dq) - f(q - dq)) / 2.0)
+        assert abs(analytic - numeric) < 5e-3 * max(abs(numeric), 1.0)
