@@ -184,12 +184,50 @@ def make_plate_with_hole(a: float = 1.6, b: float = 1.2, height: float = 0.4,
     return faces
 
 
+def make_frustum(r_bottom: float = 0.8, r_top: float = 0.45, height: float = 1.0,
+                 n_arc: int = 17, split_axis: float = 0.0):
+    """Conical frustum split by two slanted outlines, mirroring the cylinder
+    topology but with CONE side surfaces — genuine Other-type faces after the
+    dataset's type clamp (cone = GeomAbs type 2, data_para.py:75-80)."""
+    z0, z1 = -height / 2, height / 2
+    phi = split_axis
+
+    def arc(radius, z, start, reverse=False):
+        t = np.linspace(start, start + np.pi, n_arc)
+        pts = np.stack([radius * np.cos(t), radius * np.sin(t),
+                        np.full(n_arc, z)], axis=1)
+        return pts[::-1] if reverse else pts
+
+    def rim(radius, z, angle):
+        return np.array([radius * np.cos(angle), radius * np.sin(angle), z])
+
+    p_a0, p_a1 = rim(r_bottom, z0, phi), rim(r_top, z1, phi)
+    p_b0, p_b1 = rim(r_bottom, z0, phi + np.pi), rim(r_top, z1, phi + np.pi)
+    line_a_up = np.stack([p_a0, p_a1])
+    line_b_down = np.stack([p_b1, p_b0])
+
+    arc_top_1, arc_top_2 = arc(r_top, z1, phi), arc(r_top, z1, phi + np.pi)
+    arc_bot_1, arc_bot_2 = arc(r_bottom, z0, phi), arc(r_bottom, z0, phi + np.pi)
+
+    side1 = [line_a_up, arc_top_1, line_b_down, arc_bot_1[::-1]]
+    side2 = [line_b_down[::-1], arc_top_2, line_a_up[::-1], arc_bot_2[::-1]]
+    cap_top = [arc_top_2[::-1], arc_top_1[::-1]]
+    cap_bot = [arc_bot_1, arc_bot_2]
+    return [
+        (OTHER, [side1]),   # cone surfaces clamp to Other
+        (OTHER, [side2]),
+        (PLANE, [cap_top]),
+        (PLANE, [cap_bot]),
+    ]
+
+
 SOLID_BUILDERS = {
     "box": make_box,
     "prism": make_prism,
     "lblock": make_lblock,
     "cylinder": make_cylinder,
     "plate_with_hole": make_plate_with_hole,
+    "frustum": make_frustum,
 }
 
 
@@ -390,6 +428,10 @@ def random_sample(rng: np.random.Generator, coedge: bool = True,
             faces = make_plate_with_hole(
                 rng.uniform(1.2, 1.8), rng.uniform(0.9, 1.4), rng.uniform(0.3, 0.6),
                 rng.uniform(0.4, 0.7), rng.uniform(0.3, 0.5))
+        elif kind == "frustum":
+            faces = make_frustum(rng.uniform(0.5, 0.9), rng.uniform(0.25, 0.45),
+                                 rng.uniform(0.6, 1.4),
+                                 split_axis=rng.uniform(0, np.pi))
         else:
             faces = make_cylinder(rng.uniform(0.3, 0.8), rng.uniform(0.6, 1.6), split_axis=rng.uniform(0, np.pi))
         theta = float(rng.uniform(0, 360))

@@ -208,3 +208,11 @@ class TestCanonical:
     def test_sort_faces(self):
         from faceformer_tpu.geometry.canonical import sort_faces_by_indices
         assert sort_faces_by_indices([[3, 1], [0, 9], [3, 0]]) == [[0, 9], [3, 0], [3, 1]]
+
+
+class TestFrustum:
+    def test_types_and_enclosedness(self):
+        from faceformer_tpu.geometry.fixtures import make_frustum
+        sample = build_sample(make_frustum(), theta=40.0, phi=35.0)
+        types = sorted(t for t, _ in sample["faces_indices"])
+        assert types == [0, 0, 2, 2]  # 2 planes + 2 Other (cone) sides

@@ -95,3 +95,53 @@ class TestScheduledSampling:
             scheduled_sampling_ratio=1.0)
         assert not np.allclose(np.asarray(out["pointer"]),
                                np.asarray(out_full["pointer"]))
+
+
+class TestSeq2SeqCoedge:
+    """The seq2seq+coedge flavor: flat model over coedge data with
+    enclosedness filtering + pairing mapping at eval
+    (reference configs/seq2seq+coedge.yml, trainer.py:226-255)."""
+
+    def test_eval_pipeline(self, tiny_model_cfg):
+        from faceformer_tpu.config import (Config, DecodeConfig,
+                                           PostProcessConfig, TrainerConfig)
+        from faceformer_tpu.data.dataset import ABCDataset
+        from faceformer_tpu.geometry.fixtures import random_sample
+
+        rng = np.random.default_rng(17)
+        # coedge data WITHOUT face types: faces are lists of loops
+        samples = [random_sample(rng, coedge=True, no_face_type=True)
+                   for _ in range(4)]
+        cfg = Config(
+            model_class="SurfaceFormer",
+            dataset_class="ABCDataset",
+            batch_size_valid=4,
+            trainer=TrainerConfig(num_devices=2, precision="fp32"),
+            model=tiny_model_cfg,
+            post_process=PostProcessConfig(is_coedge=True),
+            decode=DecodeConfig(mode="causal_cache", precision="fp32"),
+        )
+        datasets = {"valid": ABCDataset.from_samples(samples, tiny_model_cfg)}
+        harness = Harness(cfg, datasets=datasets)
+        state = harness.init_state()
+        results = harness.validate(state["params"])
+        assert 0.0 <= results["valid_precision"] <= 1.0
+        # coedge-seq metrics are produced in this flavor
+        assert "valid_accuracy" in results
+
+    def test_perfect_label_metrics(self, tiny_model_cfg):
+        """Labels fed as predictions through the coedge+flat parse chain
+        must score perfectly (parse -> enclosedness -> pairing mapping)."""
+        from faceformer_tpu.config import PostProcessConfig, TokenConfig
+        from faceformer_tpu.data.packing import pack_label_single
+        from faceformer_tpu.geometry.fixtures import build_sample, make_box
+        from faceformer_tpu.train.metrics import FaceMetrics
+
+        sample = build_sample(make_box(), theta=25.0, phi=45.0,
+                              no_face_type=True)
+        packed = pack_label_single(sample["faces_indices"], tiny_model_cfg)
+        engine = FaceMetrics(PostProcessConfig(is_coedge=True), TokenConfig())
+        out = engine.evaluate_sample(packed["label"], packed["label"], sample)
+        assert out["precision"] == 1.0
+        assert out["recall"] == 1.0
+        assert out["accuracy"] == 1.0
