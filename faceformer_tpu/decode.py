@@ -58,6 +58,15 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
+def _prefix_buckets(t_max: int):
+    """Ascending static prefix-buffer sizes for reference-mode decoding:
+    powers of two below t_max, then t_max itself. Work per step scales with
+    the buffer, so early steps run on small buffers; outputs are identical
+    because positions beyond the live prefix are key-masked."""
+    buckets = [b for b in (8, 16, 32, 64, 128, 256) if 2 < b < t_max]
+    return buckets + [t_max]
+
+
 def _decoder_kwargs(cfg: ModelConfig) -> Dict[str, Any]:
     return dict(
         num_head=cfg.num_head,
@@ -227,25 +236,40 @@ def greedy_decode_single(
         return jnp.logical_and(step < t_max - 1, eos_count != n)
 
     if mode == "reference":
+        # prefix buckets: early steps re-run the decoder over a SHORTER
+        # static buffer (positions beyond the live prefix are masked and
+        # never read, so every bucket computes exactly the same tokens);
+        # total decoder work drops from T * O(T^2) toward sum of bucket^2
+        def make_body(bucket):
+            def body(state):
+                step, tokens, eos_count = state
+                tgt = gather_memory_rows(memory, tokens[:, :bucket])
+                prefix_pad = jnp.arange(bucket)[None, :] > step  # (1, b)
+                out = L.decoder_forward(
+                    params["decoder"], tgt, memory, query_pos[None, :bucket], pos,
+                    tgt_mask=None, tgt_key_padding_mask=prefix_pad,
+                    memory_key_padding_mask=padded_mask, **_decoder_kwargs(cfg))
+                out_t = jax.lax.dynamic_index_in_dim(out, step, axis=1, keepdims=False)
+                pointer_t = L.linear(params["project"], out_t)  # (N, E)
+                nxt = masked_argmax(memory, pointer_t, padded_mask)  # (N,)
+                tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 1)
+                eos_count = eos_count + (nxt == tok.EOS).sum().astype(jnp.int32)
+                return step + jnp.int32(1), tokens, eos_count
 
-        def body(state):
-            step, tokens, eos_count = state
-            tgt = gather_memory_rows(memory, tokens)  # (N, T, E)
-            prefix_pad = jnp.arange(t_max)[None, :] > step  # (1, T)
-            out = L.decoder_forward(
-                params["decoder"], tgt, memory, query_pos[None], pos,
-                tgt_mask=None, tgt_key_padding_mask=prefix_pad,
-                memory_key_padding_mask=padded_mask, **_decoder_kwargs(cfg))
-            out_t = jax.lax.dynamic_index_in_dim(out, step, axis=1, keepdims=False)
-            pointer_t = L.linear(params["project"], out_t)  # (N, E)
-            nxt = masked_argmax(memory, pointer_t, padded_mask)  # (N,)
-            tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 1)
-            eos_count = eos_count + (nxt == tok.EOS).sum().astype(jnp.int32)
-            return step + jnp.int32(1), tokens, eos_count
+            return body
 
-        state0 = (jnp.int32(0), tokens0, jnp.int32(0))
-        step, tokens, _ = jax.lax.while_loop(cond, body, state0)
-        return {"predict": tokens}
+        state = (jnp.int32(0), tokens0, jnp.int32(0))
+        for bucket in _prefix_buckets(t_max):
+            # steps s <= bucket - 2 fit this buffer (token s+1 must land in it)
+            def bucket_cond(state, _last=bucket - 2):
+                step, _, eos_count = state
+                ok = step <= _last if _last < t_max - 2 else step < t_max - 1
+                if not early_stop:
+                    return ok
+                return jnp.logical_and(ok, eos_count != n)
+
+            state = jax.lax.while_loop(bucket_cond, make_body(bucket), state)
+        return {"predict": state[1]}
 
     # causal_cache mode
     head_dim = cfg.num_model // cfg.num_head
@@ -325,24 +349,36 @@ def greedy_decode_parallel(
         return jnp.logical_and(step < t_max - 1, jnp.logical_not(all_special))
 
     if mode == "reference":
+        # prefix buckets: see greedy_decode_single — exact outputs, early
+        # steps on shorter static buffers
+        def make_body(bucket):
+            def body(state):
+                step, tokens, _ = state
+                tgt = gather_memory_rows(memory, tokens[:, :, :bucket])
+                prefix_pad = jnp.arange(bucket)[None, None, :] > step  # (1, 1, b)
+                out = L.decoder_forward(
+                    params["decoder"], tgt, mem_b, query_pos[None, None, :bucket],
+                    pos_b, tgt_mask=None, tgt_key_padding_mask=prefix_pad,
+                    memory_key_padding_mask=mem_pad_b, **_decoder_kwargs(cfg))
+                out_t = jax.lax.dynamic_index_in_dim(out, step, axis=2, keepdims=False)
+                pointer_t = L.linear(params["project"], out_t)  # (N, F, E)
+                nxt = masked_argmax(memory, pointer_t, padded_mask)  # (N, F)
+                tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 2)
+                return step + jnp.int32(1), tokens, jnp.all(nxt < tok.length)
 
-        def body(state):
-            step, tokens, _ = state
-            tgt = gather_memory_rows(memory, tokens)  # (N, F, T, E)
-            prefix_pad = jnp.arange(t_max)[None, None, :] > step  # (1, 1, T)
-            out = L.decoder_forward(
-                params["decoder"], tgt, mem_b, query_pos[None, None], pos_b,
-                tgt_mask=None, tgt_key_padding_mask=prefix_pad,
-                memory_key_padding_mask=mem_pad_b, **_decoder_kwargs(cfg))
-            out_t = jax.lax.dynamic_index_in_dim(out, step, axis=2, keepdims=False)
-            pointer_t = L.linear(params["project"], out_t)  # (N, F, E)
-            nxt = masked_argmax(memory, pointer_t, padded_mask)  # (N, F)
-            tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 2)
-            return step + jnp.int32(1), tokens, jnp.all(nxt < tok.length)
+            return body
 
-        state0 = (jnp.int32(0), tokens0, jnp.array(False))
-        step, tokens, _ = jax.lax.while_loop(cond, body, state0)
-        return {"predict": tokens}
+        state = (jnp.int32(0), tokens0, jnp.array(False))
+        for bucket in _prefix_buckets(t_max):
+            def bucket_cond(state, _last=min(bucket - 2, t_max - 2)):
+                step, _, all_special = state
+                ok = step <= _last
+                if not early_stop:
+                    return ok
+                return jnp.logical_and(ok, jnp.logical_not(all_special))
+
+            state = jax.lax.while_loop(bucket_cond, make_body(bucket), state)
+        return {"predict": state[1]}
 
     # causal_cache mode
     head_dim = cfg.num_model // cfg.num_head
