@@ -76,6 +76,10 @@ class TrainerConfig:
     seed: int = 0
     log_every_n_steps: int = 1
     save_top_k: int = 2
+    # scheduled-sampling mix ratio for teacher forcing (reference:
+    # model.py:122-140 mix_gold_sampled; the reference defaults it off and
+    # exposes no config knob — this makes the capability reachable)
+    scheduled_sampling: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -116,7 +116,8 @@ class Harness:
         def step(params, opt_state, batch, rng):
             def loss_fn(p):
                 out = model.forward_train(
-                    p, cfg.model, batch, rng=rng, precision=cfg.trainer.precision)
+                    p, cfg.model, batch, rng=rng, precision=cfg.trainer.precision,
+                    scheduled_sampling_ratio=cfg.trainer.scheduled_sampling)
                 return pointer_cross_entropy(out, cfg.model.token)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -172,7 +173,12 @@ class Harness:
                     self._epoch_schedule(epoch), dtype=jnp.float32)
             for batch in iter_batches(
                 train_ds, cfg.batch_size_train, shuffle=True, drop_last=True,
-                seed=cfg.trainer.seed, epoch=epoch):
+                seed=cfg.trainer.seed, epoch=epoch,
+                # multi-host (DCN) data striping: each process loads a
+                # disjoint stripe of the same global permutation; a no-op
+                # in single-process runs
+                process_index=jax.process_index(),
+                process_count=jax.process_count()):
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss, acc = step_fn(
                     params, opt_state, shard_batch(_device_batch(batch), self.mesh), sub)
@@ -294,9 +300,19 @@ class Harness:
             "test_recall": float(np.mean(agg["recall"])),
             "test_type_acc": float(np.mean(agg["type_acc"])),
             "avg_time_per_sample": total_time / max(sample_count, 1),
+            "num_samples": sample_count,
         }
         print("Avg Time", results["avg_time_per_sample"], "seconds.")
-        print(" ".join(f"{k}={v:.4f}" for k, v in results.items()))
+        print(" ".join(f"{k}={v:.4f}" for k, v in results.items()
+                       if k != "num_samples"))
+        # persist: results.json + metrics.jsonl, so quality claims are
+        # auditable from checked-in artifacts (not just stdout)
+        os.makedirs(self.log_dir, exist_ok=True)
+        with open(os.path.join(self.log_dir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        logger = MetricsLogger(self.log_dir)
+        logger.log_scalars(0, {k: v for k, v in results.items()})
+        logger.close()
         return results
 
     # -- checkpoints ---------------------------------------------------------------

@@ -38,8 +38,12 @@ def main() -> None:
         state = harness.load(args.test_ckpt)
         harness.test(state["params"])
     elif args.valid_ckpt:
+        from faceformer_tpu.train.logging import MetricsLogger
+
         state = harness.load(args.valid_ckpt)
-        harness.validate(state["params"])
+        logger = MetricsLogger(harness.log_dir)
+        harness.validate(state["params"], logger=logger)
+        logger.close()
     elif args.resume_ckpt:
         state = harness.load(args.resume_ckpt)
         harness.fit(state)
