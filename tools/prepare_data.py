@@ -29,7 +29,6 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from faceformer_tpu.geometry.canonical import (
-    correct_edge_direction,
     sort_faces_by_indices,
     sort_key_edges,
 )
@@ -49,16 +48,21 @@ def assemble_json(topo, args, name: str) -> dict:
     face_types = []
 
     if args.combine_coedge or args.direction_token:
-        # one record per undirected edge, canonical direction
+        # one record per undirected edge, stored in the edge's own (raw)
+        # direction — the reference keeps edge.dedge as-is in these modes
+        # (prepare_data.py:108-114, 204-208; DiscretizedEdge's
+        # correct_edge_direction is never called anywhere in the reference),
+        # and the direction-token orientation bit is relative to that raw
+        # direction
         key_to_idx = {}
         for face in faces:
             pointers = []
             for erec, orient in zip(face.edges, face.orientations):
                 key = erec.key
                 if key not in key_to_idx:
-                    pts = correct_edge_direction(erec.dedge)
                     key_to_idx[key] = len(records)
-                    records.append({"points": pts, "points3d": erec.dedge3d or []})
+                    records.append({"points": list(erec.dedge),
+                                    "points3d": erec.dedge3d or []})
                 if args.direction_token:
                     pointers.append((key_to_idx[key], 1 if orient else 0))
                 else:
