@@ -37,7 +37,7 @@ def main() -> None:
 
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    mode = os.environ.get("BENCH_DECODE_MODE", "causal_cache")
+    mode = os.environ.get("BENCH_DECODE_MODE", "fused")
 
     params = SurfaceFormerParallel.init(jax.random.PRNGKey(0), model_cfg)
     batch = _synthetic_batch(model_cfg, batch_size=batch_size, seed=3)

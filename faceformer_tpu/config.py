@@ -88,6 +88,11 @@ class PostProcessConfig:
 
     enclosedness_tol: float = 2e-4
     is_coedge: bool = True
+    # the --direction_token data flavor: labels interleave edge pointers
+    # with DIR0/DIR1 orientation tokens (the reference generates this data,
+    # prepare_data.py:183-245, but ships no model for it; here the flat
+    # model consumes it end-to-end)
+    direction_token: bool = False
 
 
 @dataclass(frozen=True)
@@ -102,7 +107,12 @@ class DecodeConfig:
         causal mask (reference: models/model.py:199-201), so earlier tokens'
         features change as the prefix grows. Needed for checkpoint-parity.
       - "causal_cache": incremental KV-cache decode with causal semantics
-        (matches how the model is *trained*). The fast path.
+        (matches how the model is *trained*). The fast XLA path.
+      - "fused": causal_cache semantics, one fused Pallas kernel per step
+        (ops/decode_step.py) — all decoder layers + pointer argmax + the
+        next-token gather in a single launch, live-prefix KV-cache reads.
+        The fastest path on TPU (parallel model only; equivalence-tested
+        against causal_cache, tests/test_fused_decode.py).
     """
 
     mode: str = "reference"

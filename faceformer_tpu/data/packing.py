@@ -38,22 +38,43 @@ def pack_input_edges(edges: Sequence, cfg: ModelConfig) -> Dict[str, np.ndarray]
     return {"input": inputs, "input_mask": input_mask, "num_input": len(edges)}
 
 
+def _is_direction_face(face) -> bool:
+    """True for --direction_token faces: loops of (index, orientation) pairs."""
+    if not len(face) or isinstance(face[0], (int, np.integer)):
+        return False
+    first = face[0]
+    return bool(len(first)) and not isinstance(first[0], (int, np.integer))
+
+
 def pack_label_single(faces_indices: Sequence, cfg: ModelConfig) -> Dict[str, np.ndarray]:
     """Flat-sequence label packing (reference: data.py:71-92).
 
     ``faces_indices`` entries are either flat index lists (combined-coedge
-    data) or nested loop lists, which get flattened.
+    data), nested loop lists (flattened), or --direction_token loops of
+    (index, orientation) pairs, which interleave the edge pointer with a
+    DIR0/DIR1 token: [..., idx+len, DIR(orient), ...]. The reference
+    generates direction-token data (prepare_data.py:183-245) but ships no
+    packing for it; this layout keeps every token a pointer into encoder
+    memory (DIR0/DIR1 are special-token rows 4 and 5, token.length = 6).
     """
     tok: TokenConfig = cfg.token
     label = np.full(cfg.label_seq_length, tok.PAD, dtype=np.int32)
     label[0] = tok.SOS
     pos = 0
     for face in faces_indices:
-        if len(face) and not isinstance(face[0], (int, np.integer)):
-            face = _flatten(face)
+        if _is_direction_face(face):
+            seq = []
+            for loop in face:
+                for idx, orient in loop:
+                    seq.extend([int(idx) + tok.length, tok.DIR0 + int(orient)])
+            face_tokens = np.asarray(seq, dtype=np.int32)
+        else:
+            if len(face) and not isinstance(face[0], (int, np.integer)):
+                face = _flatten(face)
+            face_tokens = np.asarray(face, dtype=np.int32) + tok.length
         pos += 1
-        label[pos : pos + len(face)] = np.asarray(face, dtype=np.int32) + tok.length
-        pos += len(face)
+        label[pos : pos + len(face_tokens)] = face_tokens
+        pos += len(face_tokens)
         label[pos] = tok.SEP
     label[pos] = tok.EOS  # overwrite the trailing SEP
     return {

@@ -299,6 +299,76 @@ def greedy_decode_single(
 
 
 # ---------------------------------------------------------------------------
+# fused whole-step engine (ops/decode_step.py)
+# ---------------------------------------------------------------------------
+
+
+def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
+                           tokens0, anchors, dtype, early_stop):
+    """causal_cache semantics, one fused Pallas kernel per step."""
+    from faceformer_tpu import ops
+    from faceformer_tpu.ops.decode_step import (
+        BIG_NEG,
+        CHUNK,
+        _round_up,
+        decode_step,
+        pack_decoder_weights,
+    )
+
+    tok = cfg.token
+    n, s, e = memory.shape
+    f = cfg.num_lines
+    t_max = cfg.max_face_length
+    n_layers = cfg.num_decoder_layers
+    interpret = ops.interpret_mode()
+
+    s_pad = _round_up(s, 8)
+    cross_k, cross_v = _cross_kv(params, memory, pos, cfg.num_head)
+    # (N, L, S, E): the kernel's grid is over samples, so each grid step
+    # fetches one sample's K/V for every layer in a single block
+    cross_k = cross_k.reshape(n_layers, n, s, e).transpose(1, 0, 2, 3)
+    cross_v = cross_v.reshape(n_layers, n, s, e).transpose(1, 0, 2, 3)
+    if s_pad != s:
+        pad4 = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        cross_k = jnp.pad(cross_k, pad4)
+        cross_v = jnp.pad(cross_v, pad4)
+        memory_p = jnp.pad(memory, ((0, 0), (0, s_pad - s), (0, 0)))
+        padded_mask_p = jnp.pad(
+            padded_mask, ((0, 0), (0, s_pad - s)), constant_values=True)
+    else:
+        memory_p, padded_mask_p = memory, padded_mask
+    mem_bias = jnp.where(padded_mask_p, BIG_NEG, 0.0).astype(jnp.float32)
+    mem_bias = mem_bias[:, None, :]  # (N, 1, S) — TPU block-shape friendly
+
+    packed = pack_decoder_weights(params, dtype)
+    t_pad = _round_up(t_max, CHUNK)
+    cache_kv = jnp.zeros((n_layers, n, t_pad, f, 2 * e), dtype)
+    query_pos = params["query_pos_table"].astype(dtype)
+    x0 = gather_memory_rows(memory_p, anchors)  # (N, F, E)
+
+    def cond(state):
+        step, _, all_special = state[0], state[1], state[2]
+        if not early_stop:
+            return step < t_max - 1
+        return jnp.logical_and(step < t_max - 1, jnp.logical_not(all_special))
+
+    def body(state):
+        step, tokens, _, x, ckv = state
+        qpos_t = jax.lax.dynamic_index_in_dim(query_pos, step, 0, keepdims=True)
+        x, nxt, ckv = decode_step(
+            step, x, qpos_t, packed, cross_k, cross_v, memory_p, mem_bias,
+            ckv, num_head=cfg.num_head, num_layers=n_layers,
+            interpret=interpret)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 2)
+        return (step + jnp.int32(1), tokens, jnp.all(nxt < tok.length),
+                x, ckv)
+
+    state = (jnp.int32(0), tokens0, jnp.array(False), x0, cache_kv)
+    state = jax.lax.while_loop(cond, body, state)
+    return {"predict": state[1]}
+
+
+# ---------------------------------------------------------------------------
 # parallel (per-edge-anchor) model
 # ---------------------------------------------------------------------------
 
@@ -379,6 +449,11 @@ def greedy_decode_parallel(
 
             state = jax.lax.while_loop(bucket_cond, make_body(bucket), state)
         return {"predict": state[1]}
+
+    if mode == "fused":
+        return _fused_decode_parallel(
+            params, cfg, batch, memory, pos, padded_mask, tokens0, anchors,
+            dtype, early_stop)
 
     # causal_cache mode
     head_dim = cfg.num_model // cfg.num_head

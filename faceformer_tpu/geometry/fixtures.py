@@ -292,6 +292,7 @@ def build_sample(
     focus: float = 0.0,
     coedge: bool = True,
     no_face_type: bool = False,
+    direction_token: bool = False,
     tol: float = 2e-4,
     round_decimals: int = 8,
 ) -> Dict:
@@ -301,6 +302,10 @@ def build_sample(
     directions), matching the `ours`/`seq2seq+coedge` data flavors; False
     combines coedges into one canonical-direction edge per undirected edge
     (the `--combine_coedge` flavor, prepare_data.py:104-111,145-147).
+    direction_token=True stores each undirected edge once in its
+    first-traversal direction and emits (index, orientation) pairs per face
+    (the `--direction_token` flavor, prepare_data.py:183-245; orientation 1
+    means the face traverses the stored polyline reversed).
     """
     basis = camera_basis(theta, phi)
     scale = _normalization_scale(faces)
@@ -335,7 +340,19 @@ def build_sample(
     for ftype, ploops in projected_faces:
         loops_rec = []
         for pedges in ploops:
-            if coedge:
+            if direction_token:
+                # store the edge raw in its first-traversal direction; a
+                # later traversal of the reversed polyline reuses the record
+                # with orientation bit 1
+                pairs = []
+                for e2, e3 in pedges:
+                    rev_key = tuple(map(tuple, e2[::-1]))
+                    if rev_key in key_to_record:
+                        pairs.append((key_to_record[rev_key], 1))
+                    else:
+                        pairs.append((intern_edge(e2, e3), 0))
+                loops_rec.append(pairs)
+            elif coedge:
                 loops_rec.append([intern_edge(e2, e3) for e2, e3 in pedges])
             else:
                 canon = []
@@ -352,16 +369,32 @@ def build_sample(
     remap = {old: new for new, old in enumerate(order)}
     edges = [records[i]["points"] for i in order]
     edges3d = [records[i]["points3d"] for i in order]
-    face_records = [
-        (ftype, [[remap[i] for i in loop] for loop in loops])
-        for ftype, loops in face_records
-    ]
+    if direction_token:
+        face_records = [
+            (ftype, [[(remap[i], o) for i, o in loop] for loop in loops])
+            for ftype, loops in face_records
+        ]
+    else:
+        face_records = [
+            (ftype, [[remap[i] for i in loop] for loop in loops])
+            for ftype, loops in face_records
+        ]
 
     # canonicalize loops via the enclosedness walk (prepare_data.py:150-168)
     faces_indices = []
     for ftype, loops in face_records:
         flat = [i for loop in loops for i in loop]
-        if coedge:
+        if direction_token:
+            found = is_face_enclosed(edges, flat, tol)
+            if not found:
+                raise AssertionError("fixture face not enclosed — degenerate view")
+            rolled = [
+                np.roll(lp, -int(np.argmin([t[0] for t in lp])), axis=0).tolist()
+                for lp in found
+            ]
+            rolled = sorted(rolled, key=lambda lp: lp[0][0])
+            faces_indices.append(rolled)  # no face type in this flavor
+        elif coedge:
             found = is_face_enclosed(edges, flat, tol)
             if not found:
                 raise AssertionError("fixture face not enclosed — degenerate view")
@@ -373,7 +406,9 @@ def build_sample(
         else:
             faces_indices.append(sorted(flat))
 
-    if coedge:
+    if direction_token:
+        faces_indices = sorted(faces_indices, key=lambda f: f[0][0][0])
+    elif coedge:
         key = (lambda f: f[0][0]) if no_face_type else (lambda f: f[1][0][0])
         faces_indices = sorted(faces_indices, key=key)
     else:
@@ -412,8 +447,8 @@ def _normalization_scale(faces) -> float:
 
 
 def random_sample(rng: np.random.Generator, coedge: bool = True,
-                  no_face_type: bool = False, focus: float = 0.0,
-                  max_tries: int = 8) -> Dict:
+                  no_face_type: bool = False, direction_token: bool = False,
+                  focus: float = 0.0, max_tries: int = 8) -> Dict:
     """One random solid under a random camera; retries degenerate views
     (reference retries random cameras 5x, prepare_data.py:303-319)."""
     for _ in range(max_tries):
@@ -438,7 +473,8 @@ def random_sample(rng: np.random.Generator, coedge: bool = True,
         phi = float(rng.uniform(22.5, 67.5))
         try:
             return build_sample(faces, theta=theta, phi=phi, focus=focus,
-                                coedge=coedge, no_face_type=no_face_type)
+                                coedge=coedge, no_face_type=no_face_type,
+                                direction_token=direction_token)
         except AssertionError:
             continue
     raise RuntimeError("could not generate a non-degenerate fixture")

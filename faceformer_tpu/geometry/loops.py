@@ -18,11 +18,20 @@ import numpy as np
 
 
 def canonicalize_loops(loops: Sequence[Sequence[int]]) -> Tuple[Tuple[int, ...], ...]:
-    """Roll every loop so its min index is first; sort loops by first index."""
-    rolled = [
-        tuple(np.roll(np.asarray(loop), -int(np.argmin(loop)), axis=0).astype(int).tolist())
-        for loop in loops
-    ]
+    """Roll every loop so its min index is first; sort loops by first index.
+
+    Loop entries are plain edge indices or (index, orientation) pairs (the
+    --direction_token flavor; rolled by the index component, reference
+    prepare_data.py:236-239)."""
+    rolled = []
+    for loop in loops:
+        arr = np.asarray(loop)
+        if arr.ndim == 2:
+            r = np.roll(arr, -int(np.argmin(arr[:, 0])), axis=0).astype(int)
+            rolled.append(tuple(map(tuple, r.tolist())))
+        else:
+            rolled.append(tuple(
+                np.roll(arr, -int(np.argmin(arr)), axis=0).astype(int).tolist()))
     return tuple(sorted(rolled, key=lambda lp: lp[0]))
 
 

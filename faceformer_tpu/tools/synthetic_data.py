@@ -39,14 +39,15 @@ def prepare_splits(root: str, names: Sequence[str], split=(0.93, 0.02, 0.05),
 
 
 def generate(root: str, num: int, seed: int = 0, coedge: bool = True,
-             no_face_type: bool = False, focus: float = 0.0,
-             max_edges: int = 64, split=(0.93, 0.02, 0.05)) -> list:
+             no_face_type: bool = False, direction_token: bool = False,
+             focus: float = 0.0, max_edges: int = 64,
+             split=(0.93, 0.02, 0.05)) -> list:
     os.makedirs(os.path.join(root, "json"), exist_ok=True)
     rng = np.random.default_rng(seed)
     names = []
     while len(names) < num:
         sample = random_sample(rng, coedge=coedge, no_face_type=no_face_type,
-                               focus=focus)
+                               direction_token=direction_token, focus=focus)
         if len(sample["edges"]) > max_edges * (2 if coedge else 1):
             continue  # reference rejects >64-edge shapes (prepare_data.py:405-407)
         name = f"{len(names):08d}"
@@ -65,12 +66,15 @@ def main(argv=None) -> None:
     parser.add_argument("--combine_coedge", action="store_true",
                         help="one token per undirected edge (seq2seq flavor)")
     parser.add_argument("--no_face_type", action="store_true")
+    parser.add_argument("--direction_token", action="store_true",
+                        help="combined edges + (index, orientation) labels")
     parser.add_argument("--focus", type=float, default=0.0,
                         help="0 = orthographic; >0 = perspective focal length")
     args = parser.parse_args(argv)
     names = generate(args.root, args.num, seed=args.seed,
-                     coedge=not args.combine_coedge,
-                     no_face_type=args.no_face_type, focus=args.focus)
+                     coedge=not args.combine_coedge and not args.direction_token,
+                     no_face_type=args.no_face_type,
+                     direction_token=args.direction_token, focus=args.focus)
     print(f"wrote {len(names)} samples under {args.root}")
 
 

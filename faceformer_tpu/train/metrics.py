@@ -62,6 +62,38 @@ def parse_faces(
     return predict_faces, label_faces
 
 
+def parse_directed_faces(
+    predicts: np.ndarray, labels: np.ndarray, num_edges: int, tok: TokenConfig
+) -> Tuple[List[Face], List[Face]]:
+    """Parse flat grids of the --direction_token flavor: faces are streams of
+    [edge_pointer, DIR0/DIR1] pairs between SEPs. Malformed fragments (an
+    edge pointer without a following DIR token, or vice versa) are skipped —
+    the eval-time tolerance for model hallucinations, mirroring the
+    out-of-range clipping of the plain parser."""
+
+    def upto_first_eos(seq):
+        return np.split(seq, np.where(seq == tok.EOS)[0] + 1)[0]
+
+    def parse(seq):
+        faces = []
+        for chunk in np.split(seq, np.where(seq == tok.SEP)[0] + 1):
+            arr = chunk[:-1] if len(chunk) else chunk
+            items, i = [], 0
+            while i < len(arr):
+                v = int(arr[i]) - tok.length
+                if (0 <= v < num_edges and i + 1 < len(arr)
+                        and int(arr[i + 1]) in (tok.DIR0, tok.DIR1)):
+                    items.append((v, int(arr[i + 1]) - tok.DIR0))
+                    i += 2
+                else:
+                    i += 1
+            if items:
+                faces.append((0, tuple(items)))
+        return faces
+
+    return parse(upto_first_eos(predicts)), parse(upto_first_eos(labels))
+
+
 def parse_parallel_faces(
     predicts: np.ndarray, labels: np.ndarray, num_edges: int, tok: TokenConfig
 ) -> Tuple[List[Face], List[Face]]:
@@ -102,12 +134,50 @@ class FaceMetrics:
         if labels.ndim == 2:
             predict_faces, label_faces = parse_parallel_faces(
                 predicts, labels, len(edges), self.tok)
+        elif self.post_process.direction_token:
+            predict_faces, label_faces = parse_directed_faces(
+                predicts, labels, len(edges), self.tok)
         else:
             predict_faces, label_faces = parse_faces(
                 predicts, labels, len(edges), self.tok)
 
         out: Dict = {}
-        if self.post_process.is_coedge:
+        if self.post_process.direction_token:
+            # oriented loops must chain; after the filter, orientation has
+            # served its purpose and faces compare as undirected edge sets
+            # (the flavor stores each undirected edge once)
+            from faceformer_tpu.geometry.native import (
+                filter_faces_by_encloseness_batch,
+            )
+
+            tol = self.post_process.enclosedness_tol
+            predict_faces = filter_faces_by_encloseness_batch(
+                edges, predict_faces, tol)
+            label_faces = filter_faces_by_encloseness_batch(
+                edges, label_faces, tol)
+
+            face_tp = type_tp = 0
+            label_set = set(label_faces)
+            for pred_type, pred_face in predict_faces:
+                for label_type, label_face in label_set:
+                    if pred_face == label_face:
+                        face_tp += 1
+                        if pred_type == label_type:
+                            type_tp += 1
+                        break
+            out["accuracy"] = face_tp / len(predict_faces) if predict_faces else 0
+            out["type_acc_coedge_seq"] = (
+                type_tp / face_tp if predict_faces and face_tp else 0)
+
+            def strip_orientation(faces):
+                return [
+                    (ftype, [i for loop in loops for (i, _o) in loop])
+                    for ftype, loops in faces
+                ]
+
+            label_faces = strip_orientation(label_faces)
+            predict_faces = strip_orientation(predict_faces)
+        elif self.post_process.is_coedge:
             from faceformer_tpu.geometry.native import (
                 filter_faces_by_encloseness_batch,
             )

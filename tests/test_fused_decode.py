@@ -1,0 +1,59 @@
+"""Fused whole-step decode kernel (ops/decode_step.py) equivalence.
+
+The fused engine must produce exactly the causal_cache XLA engine's token
+grids in fp32 (same math, same argmax; the kernel runs in the Pallas
+interpreter on CPU). Covers layer counts that exercise the unrolled layer
+loop and the two-slot cache-write pipelining, t_max values that are and are
+not multiples of the DMA chunk, and both stop modes.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from faceformer_tpu.data.batching import collate
+from faceformer_tpu.data.dataset import ABCDatasetParallel
+from faceformer_tpu.decode import greedy_decode_parallel
+from faceformer_tpu.geometry.fixtures import random_sample
+from faceformer_tpu.models.parallel import SurfaceFormerParallel
+
+
+@pytest.fixture(scope="module")
+def batch(tiny_model_cfg):
+    rng = np.random.default_rng(9)
+    samples = [random_sample(rng) for _ in range(2)]
+    ds = ABCDatasetParallel.from_samples(samples, tiny_model_cfg)
+    b = collate([ds[0], ds[1]])
+    return {k: v for k, v in b.items() if not isinstance(v, (list, str))}
+
+
+class TestFusedDecode:
+    @pytest.mark.parametrize("early_stop", [True, False])
+    def test_matches_causal_cache(self, tiny_model_cfg, batch, early_stop):
+        cfg = tiny_model_cfg
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(2), cfg)
+        ref = np.asarray(greedy_decode_parallel(
+            params, cfg, batch, precision="fp32", mode="causal_cache",
+            early_stop=early_stop)["predict"])
+        fused = np.asarray(greedy_decode_parallel(
+            params, cfg, batch, precision="fp32", mode="fused",
+            early_stop=early_stop)["predict"])
+        np.testing.assert_array_equal(fused, ref)
+
+    @pytest.mark.parametrize("layers,t_max", [(1, 12), (3, 9)])
+    def test_odd_depths_and_lengths(self, tiny_model_cfg, batch, layers, t_max):
+        # t_max=12 and 9 are not CHUNK multiples; layers=1 skips the
+        # two-slot write pipeline, layers=3 exercises an odd slot parity
+        cfg = dataclasses.replace(
+            tiny_model_cfg, num_decoder_layers=layers, max_face_length=t_max)
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(4), cfg)
+        ref = np.asarray(greedy_decode_parallel(
+            params, cfg, batch, precision="fp32", mode="causal_cache",
+            early_stop=False)["predict"])
+        fused = np.asarray(greedy_decode_parallel(
+            params, cfg, batch, precision="fp32", mode="fused",
+            early_stop=False)["predict"])
+        np.testing.assert_array_equal(fused, ref)

@@ -6,48 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from faceformer_tpu.ops.attention import fused_attention
 from faceformer_tpu.ops.pointer import pointer_argmax, pointer_argmax_batched
-
-
-def reference_attention(q, k, v, key_padding, causal=False):
-    hd = q.shape[-1]
-    scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) * hd ** -0.5
-    neg = jnp.finfo(jnp.float32).min
-    scores = jnp.where(key_padding[:, None, None, :], neg, scores)
-    if causal:
-        sq, sk = scores.shape[-2:]
-        cmask = jnp.triu(jnp.ones((sq, sk), bool), k=1)
-        scores = jnp.where(cmask, neg, scores)
-    probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
-
-
-class TestFusedAttention:
-    @pytest.mark.parametrize("causal", [False, True])
-    def test_matches_reference(self, rng, causal):
-        n, s, h, hd = 2, 21, 4, 16
-        q = jnp.asarray(rng.standard_normal((n, s, h, hd)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((n, s, h, hd)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((n, s, h, hd)), jnp.float32)
-        pad = np.zeros((n, s), bool)
-        pad[:, 17:] = True
-        pad = jnp.asarray(pad)
-
-        got = fused_attention(q, k, v, pad, num_head=h, causal=causal, interpret=True)
-        want = reference_attention(q, k, v, pad, causal=causal)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
-
-    def test_cross_attention_shapes(self, rng):
-        n, sq, sk, h, hd = 2, 9, 30, 2, 8
-        q = jnp.asarray(rng.standard_normal((n, sq, h, hd)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((n, sk, h, hd)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((n, sk, h, hd)), jnp.float32)
-        pad = jnp.zeros((n, sk), bool)
-        got = fused_attention(q, k, v, pad, num_head=h, interpret=True)
-        want = reference_attention(q, k, v, pad)
-        assert got.shape == (n, sq, h, hd)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 class TestPointerArgmax:
