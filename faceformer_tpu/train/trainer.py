@@ -138,6 +138,14 @@ class Harness:
     def decode_fn(self):
         if self._decode_fn is None:
             model, cfg = self.model, self.cfg
+            mode = cfg.decode.mode
+            if mode == "fused" and self.mesh.devices.size > 1:
+                # the fused Pallas step is a single-device kernel; XLA
+                # cannot partition it over a mesh — fall back to the
+                # equivalent XLA engine (same token grids)
+                print("decode.mode=fused is single-device; using "
+                      "causal_cache on the multi-device mesh")
+                mode = "causal_cache"
 
             def decode(params, batch):
                 kwargs = {}
@@ -145,7 +153,7 @@ class Harness:
                     kwargs["anchor_mode"] = cfg.decode.anchor_mode
                 return model.forward_eval(
                     params, cfg.model, batch, precision=cfg.decode.precision,
-                    mode=cfg.decode.mode, **kwargs)["predict"]
+                    mode=mode, **kwargs)["predict"]
 
             self._decode_fn = jax.jit(decode)
         return self._decode_fn
