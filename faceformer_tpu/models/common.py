@@ -79,7 +79,7 @@ def encode(
         params["encoder"], x, pos, padded_mask,
         num_head=cfg.num_head, dropout_rate=cfg.dropout,
         activation=cfg.activation, normalize_before=cfg.normalize_before,
-        rng=rng, remat=cfg.remat)
+        rng=rng, remat=cfg.remat, remat_policy=cfg.remat_policy)
     return memory, pos, padded_mask
 
 

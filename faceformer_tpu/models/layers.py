@@ -425,11 +425,15 @@ def decoder_layer(
 
 
 def _scan_stack(layer_fn, stacked: Params, x: jnp.ndarray, rng: Optional[jax.Array],
-                remat: bool = False):
+                remat: bool = False, remat_policy: str = "full"):
     n_layers = jax.tree.leaves(stacked)[0].shape[0]
     if remat:
-        # recompute layer activations in the backward pass (HBM for FLOPs)
-        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+        # recompute layer activations in the backward pass (HBM for FLOPs);
+        # the "dots" policy keeps matmul outputs resident and recomputes
+        # only the elementwise tail — fewer recompute FLOPs, more HBM
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat_policy == "dots" else None)
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(), policy=policy)
 
     def body(carry, inputs):
         layer_p, idx = inputs
@@ -452,13 +456,15 @@ def encoder_forward(
     normalize_before: bool = True,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    remat_policy: str = "full",
 ) -> jnp.ndarray:
     """Full encoder stack + final norm (reference: transformer.py:62-83)."""
     fn = partial(
         _apply_encoder_layer, pos=pos, key_padding_mask=key_padding_mask,
         num_head=num_head, dropout_rate=dropout_rate,
         activation=activation, normalize_before=normalize_before)
-    out = _scan_stack(fn, p["layers"], x, rng, remat=remat)
+    out = _scan_stack(fn, p["layers"], x, rng, remat=remat,
+                      remat_policy=remat_policy)
     if normalize_before:
         out = layer_norm(p["norm"], out)
     return out
@@ -484,6 +490,7 @@ def decoder_forward(
     memory_key_padding_mask: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    remat_policy: str = "full",
 ) -> jnp.ndarray:
     """Full decoder stack + final norm (reference: transformer.py:86-124;
     the decoder norm exists in both pre/post-LN modes, model.py:42-43)."""
@@ -496,5 +503,6 @@ def decoder_forward(
             tgt_key_padding_mask=tgt_key_padding_mask,
             memory_key_padding_mask=memory_key_padding_mask, rng=layer_rng)
 
-    out = _scan_stack(fn, p["layers"], tgt, rng, remat=remat)
+    out = _scan_stack(fn, p["layers"], tgt, rng, remat=remat,
+                      remat_policy=remat_policy)
     return layer_norm(p["norm"], out)

@@ -73,7 +73,7 @@ class SurfaceFormer:
                 activation=cfg.activation, normalize_before=cfg.normalize_before,
                 tgt_mask=tgt_mask, tgt_key_padding_mask=tgt_key_padding,
                 memory_key_padding_mask=padded_mask, rng=dec_rng,
-                remat=cfg.remat)
+                remat=cfg.remat, remat_policy=cfg.remat_policy)
             return L.linear(params["project"], out)
 
         if scheduled_sampling_ratio > 0.0 and rng is not None:

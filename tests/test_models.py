@@ -247,3 +247,43 @@ class TestAnchorModes:
             np.testing.assert_array_equal(
                 grid[i, :num, 0], np.arange(num) + tok_len)
             assert np.all(grid[i, num:, 0] == tok_len - 1)
+
+
+class TestRematPolicies:
+    def test_gradients_match_no_remat(self, tiny_model_cfg):
+        """remat (full and dots policies) is a pure memory/FLOPs trade —
+        gradients must match the non-remat backward to fp tolerance."""
+        import dataclasses
+
+        import jax
+        import numpy as np
+
+        from faceformer_tpu.data.batching import collate
+        from faceformer_tpu.data.dataset import ABCDatasetParallel
+        from faceformer_tpu.geometry.fixtures import random_sample
+        from faceformer_tpu.models.parallel import SurfaceFormerParallel
+        from faceformer_tpu.train.loss import pointer_cross_entropy
+
+        rng = np.random.default_rng(3)
+        ds = ABCDatasetParallel.from_samples(
+            [random_sample(rng) for _ in range(2)], tiny_model_cfg)
+        batch = {k: v for k, v in collate([ds[0], ds[1]]).items()
+                 if not isinstance(v, (list, str))}
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(1), tiny_model_cfg)
+
+        grads = {}
+        for name, kw in (("off", dict(remat=False)),
+                         ("full", dict(remat=True, remat_policy="full")),
+                         ("dots", dict(remat=True, remat_policy="dots"))):
+            cfg = dataclasses.replace(tiny_model_cfg, **kw)
+
+            def loss_fn(p, cfg=cfg):
+                out = SurfaceFormerParallel.forward_train(p, cfg, batch, rng=None)
+                return pointer_cross_entropy(out, cfg.token)[0]
+
+            grads[name] = jax.grad(loss_fn)(params)
+        for name in ("full", "dots"):
+            for a, b in zip(jax.tree.leaves(grads["off"]),
+                            jax.tree.leaves(grads[name])):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-4)
