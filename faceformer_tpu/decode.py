@@ -451,9 +451,17 @@ def greedy_decode_parallel(
         return {"predict": state[1]}
 
     if mode == "fused":
-        return _fused_decode_parallel(
-            params, cfg, batch, memory, pos, padded_mask, tokens0, anchors,
-            dtype, early_stop)
+        from faceformer_tpu import ops as _ops
+
+        # Mosaic tiles the packed K|V cache's lane dim at 128: compiled
+        # kernels need 2*num_model % 128 == 0 (every shipped config
+        # qualifies; tiny test dims run through the interpreter on CPU).
+        # Anything smaller falls back to the equivalent XLA engine.
+        if (2 * cfg.num_model) % 128 == 0 or _ops.interpret_mode():
+            return _fused_decode_parallel(
+                params, cfg, batch, memory, pos, padded_mask, tokens0,
+                anchors, dtype, early_stop)
+        mode = "causal_cache"
 
     # causal_cache mode
     head_dim = cfg.num_model // cfg.num_head
