@@ -324,8 +324,8 @@ def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
 
     s_pad = _round_up(s, 8)
     cross_k, cross_v = _cross_kv(params, memory, pos, cfg.num_head)
-    # (N, L, S, E): the kernel's grid is over samples, so each grid step
-    # fetches one sample's K/V for every layer in a single block
+    # (N, L, S, E): the kernel's grid is over sample BLOCKS, so each grid
+    # step fetches its samples' K/V for every layer in a single block
     cross_k = cross_k.reshape(n_layers, n, s, e).transpose(1, 0, 2, 3)
     cross_v = cross_v.reshape(n_layers, n, s, e).transpose(1, 0, 2, 3)
     if s_pad != s:
@@ -338,13 +338,20 @@ def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
     else:
         memory_p, padded_mask_p = memory, padded_mask
     mem_bias = jnp.where(padded_mask_p, BIG_NEG, 0.0).astype(jnp.float32)
-    mem_bias = mem_bias[:, None, :]  # (N, 1, S) — TPU block-shape friendly
 
+    # samples per grid step: bigger blocks amortize the weight stream and
+    # deepen the per-step GEMMs (B*F rows instead of F)
+    blk = next(b for b in (2, 1) if n % b == 0)
+    nb = n // blk
     packed = pack_decoder_weights(params, dtype)
     t_pad = _round_up(t_max, CHUNK)
-    cache_kv = jnp.zeros((n_layers, n, t_pad, f, 2 * e), dtype)
+    cache_kv = jnp.zeros((n_layers, nb, t_pad, blk * f, 2 * e), dtype)
     query_pos = params["query_pos_table"].astype(dtype)
-    x0 = gather_memory_rows(memory_p, anchors)  # (N, F, E)
+    x0 = gather_memory_rows(memory_p, anchors).reshape(nb, blk * f, e)
+    cross_k = cross_k.reshape(nb, blk, n_layers, s_pad, e)
+    cross_v = cross_v.reshape(nb, blk, n_layers, s_pad, e)
+    memory_b = memory_p.reshape(nb, blk, s_pad, e)
+    mem_bias = mem_bias.reshape(nb, blk, 1, s_pad)
 
     def cond(state):
         step, _, all_special = state[0], state[1], state[2]
@@ -356,9 +363,10 @@ def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
         step, tokens, _, x, ckv = state
         qpos_t = jax.lax.dynamic_index_in_dim(query_pos, step, 0, keepdims=True)
         x, nxt, ckv = decode_step(
-            step, x, qpos_t, packed, cross_k, cross_v, memory_p, mem_bias,
+            step, x, qpos_t, packed, cross_k, cross_v, memory_b, mem_bias,
             ckv, num_head=cfg.num_head, num_layers=n_layers,
             interpret=interpret)
+        nxt = nxt.reshape(n, f)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 2)
         return (step + jnp.int32(1), tokens, jnp.all(nxt < tok.length),
                 x, ckv)

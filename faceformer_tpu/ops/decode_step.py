@@ -130,15 +130,15 @@ def _kernel(
     fnorm_ref,    # (2, E) fp32
     proj_w_ref,   # (E, E)
     proj_b_ref,   # (1, E)
-    cross_k_ref,  # (1, L, S, E) — this sample's K for every layer
-    cross_v_ref,  # (1, L, S, E)
-    mem_ref,      # (1, S, E)
-    bias_ref,     # (1, 1, S) fp32 (0 valid / BIG_NEG padded)
+    cross_k_ref,  # (1, B, L, S, E) — the block's K for every layer
+    cross_v_ref,  # (1, B, L, S, E)
+    mem_ref,      # (1, B, S, E)
+    bias_ref,     # (1, B, 1, S) fp32 (0 valid / BIG_NEG padded)
     cache_kv_ref,  # (L, N, T_pad, F, 2E) in HBM/ANY, aliased to output;
                    # K in lanes [0:E], V in lanes [E:2E]
     # outputs
     x_out_ref,    # (1, F, E) (aliased with x) — next step's decoder input
-    tok_out_ref,  # (1, 1, F) int32
+    tok_out_ref,  # (1, B, F) int32
     cache_kv_out_ref,
     # scratch
     kv_new,       # VMEM (2, 1, F, 2E) — per-layer packed k_t|v_t slots
@@ -150,10 +150,12 @@ def _kernel(
     num_layers: int,
     num_head: int,
     t_pad: int,
+    samples_per_block: int,
 ):
     n = pl.program_id(0)
     step = step_ref[0]
-    f, e = x_ref.shape[1], x_ref.shape[2]
+    f, e = x_ref.shape[1], x_ref.shape[2]  # f = B * F rows
+    f_per = f // samples_per_block
     hd = e // num_head
     scale = hd ** -0.5
     dtype = x_ref.dtype
@@ -263,30 +265,36 @@ def _kernel(
                          preferred_element_type=jnp.float32)
                  + vecs[_BO]).astype(dtype)
 
-        # ---- cross attention ----------------------------------------------
+        # ---- cross attention (per sample in the block; kept in fp32 so the
+        # per-sample row slices land on 8-aligned fp32 sublanes) -------------
         x2 = _ln(x, vecs[_N2S], vecs[_N2B])
         q2 = (jnp.dot(x2 + qpos, w_mats_ref[l, 4],
                       preferred_element_type=jnp.float32)
-              + vecs[_CBQ]).astype(dtype)
-        ck = cross_k_ref[0, l]  # (S, E)
-        cv = cross_v_ref[0, l]
-        cross_out = jnp.zeros((f, e), jnp.float32)
-        for h in range(num_head):
-            qh2 = q2[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-            kh = ck[:, h * hd:(h + 1) * hd].astype(jnp.float32)
-            sc = jax.lax.dot_general(  # (F, S)
-                qh2, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            sc = sc + bias_ref[0, 0][None, :]
-            mx = jnp.max(sc, axis=-1, keepdims=True)
-            pr = jnp.exp(sc - mx)
-            pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
-            vh = cv[:, h * hd:(h + 1) * hd].astype(jnp.float32)  # (S, hd)
-            oh = jnp.dot(pr, vh, preferred_element_type=jnp.float32)
-            wo_h = w_mats_ref[l, 5, h * hd:(h + 1) * hd, :].astype(jnp.float32)
-            cross_out = cross_out + jnp.dot(
-                oh, wo_h, preferred_element_type=jnp.float32)
-        x = x + (cross_out + vecs[_CBO]).astype(dtype)
+              + vecs[_CBQ])  # (B*F, E) fp32
+        for b in range(samples_per_block):
+            ck = cross_k_ref[0, b, l]  # (S, E)
+            cv = cross_v_ref[0, b, l]
+            bias_b = bias_ref[0, b, 0]
+            r0 = b * f_per
+            cross_b = jnp.zeros((f_per, e), jnp.float32)
+            for h in range(num_head):
+                qh2 = q2[r0:r0 + f_per, h * hd:(h + 1) * hd] * scale
+                kh = ck[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+                sc = jax.lax.dot_general(  # (F, S)
+                    qh2, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sc = sc + bias_b[None, :]
+                mx = jnp.max(sc, axis=-1, keepdims=True)
+                pr = jnp.exp(sc - mx)
+                pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
+                vh = cv[:, h * hd:(h + 1) * hd].astype(jnp.float32)  # (S, hd)
+                oh = jnp.dot(pr, vh, preferred_element_type=jnp.float32)
+                wo_h = w_mats_ref[l, 5, h * hd:(h + 1) * hd, :].astype(
+                    jnp.float32)
+                cross_b = cross_b + jnp.dot(
+                    oh, wo_h, preferred_element_type=jnp.float32)
+            attn_acc[r0:r0 + f_per, :] = cross_b
+        x = x + (attn_acc[:] + vecs[_CBO]).astype(dtype)
 
         # ---- FFN -----------------------------------------------------------
         x2 = _ln(x, vecs[_N3S], vecs[_N3B])
@@ -298,22 +306,27 @@ def _kernel(
                  + vecs[_FB2]).astype(dtype)
 
     # ---- epilogue: final norm -> pointer -> argmax -> next-token gather
-    # (select_next, reference model_para.py:173-179) -------------------------
+    # (select_next, reference model_para.py:173-179), per sample in the
+    # block; fp32 staging via attn_acc so row slices stay 8-aligned --------
     xf = _ln(x, fnorm_ref[0], fnorm_ref[1])
     pointer = (jnp.dot(xf, proj_w_ref[:], preferred_element_type=jnp.float32)
-               + proj_b_ref[0].astype(jnp.float32)).astype(dtype)
-    mem = mem_ref[0]  # (S, E)
-    s_dim = mem.shape[0]
-    logits = jax.lax.dot_general(  # (F, S) fp32
-        pointer, mem, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    logits = logits + bias_ref[0, 0][None, :]
-    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (F,)
-    tok_out_ref[0, 0] = nxt
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (f, s_dim), 1)
-              == nxt[:, None]).astype(dtype)
-    x_out_ref[0] = jnp.dot(onehot, mem,
-                           preferred_element_type=jnp.float32).astype(dtype)
+               + proj_b_ref[0].astype(jnp.float32))  # (B*F, E) fp32
+    s_dim = mem_ref.shape[2]
+    for b in range(samples_per_block):
+        mem = mem_ref[0, b].astype(jnp.float32)  # (S, E)
+        r0 = b * f_per
+        logits = jax.lax.dot_general(  # (F, S) fp32
+            pointer[r0:r0 + f_per], mem,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[0, b, 0][None, :]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (F,)
+        tok_out_ref[0, b] = nxt
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (f_per, s_dim), 1)
+                  == nxt[:, None]).astype(jnp.float32)
+        attn_acc[r0:r0 + f_per, :] = jnp.dot(
+            onehot, mem, preferred_element_type=jnp.float32)
+    x_out_ref[0] = attn_acc[:].astype(dtype)
 
     w_dma(num_layers - 1).wait()
     if num_layers >= 2:
@@ -330,22 +343,25 @@ def _kernel(
     static_argnames=("num_head", "num_layers", "interpret"))
 def decode_step(
     step: jnp.ndarray,          # () int32
-    x: jnp.ndarray,             # (N, F, E) current decoder inputs
+    x: jnp.ndarray,             # (NB, B*F, E) current decoder inputs
     qpos_t: jnp.ndarray,        # (1, E) this step's learned query position
     packed: Dict[str, jnp.ndarray],
-    cross_k: jnp.ndarray,       # (N, L, S, E)
+    cross_k: jnp.ndarray,       # (NB, B, L, S, E)
     cross_v: jnp.ndarray,
-    memory: jnp.ndarray,        # (N, S, E)
-    mem_bias: jnp.ndarray,      # (N, 1, S) fp32
-    cache_kv: jnp.ndarray,      # (L, N, T_pad, F, 2E): K | V packed on lanes
+    memory: jnp.ndarray,        # (NB, B, S, E)
+    mem_bias: jnp.ndarray,      # (NB, B, 1, S) fp32
+    cache_kv: jnp.ndarray,      # (L, NB, T_pad, B*F, 2E): K | V lane-packed
     num_head: int,
     num_layers: int,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run one fused decode step. Returns (x_next, next_tokens,
-    cache_kv); the cache is updated in place (aliased)."""
-    n, f, e = x.shape
-    s = memory.shape[1]
+    """Run one fused decode step over sample blocks of B (the grid is over
+    blocks; bigger blocks amortize weight streaming and deepen the GEMMs).
+    Returns (x_next, next_tokens (NB, B, F), cache_kv); the cache is
+    updated in place (aliased)."""
+    n, f, e = x.shape  # n = blocks, f = B * F rows
+    b = memory.shape[1]
+    s = memory.shape[2]
     t_pad = cache_kv.shape[2]
     ff = packed["ffn_w1"].shape[2]
     dtype = x.dtype
@@ -354,7 +370,7 @@ def decode_step(
     n_chunks = t_pad // CHUNK
     out_shape = (
         jax.ShapeDtypeStruct((n, f, e), dtype),
-        jax.ShapeDtypeStruct((n, 1, f), jnp.int32),
+        jax.ShapeDtypeStruct((n, b, f // b), jnp.int32),
         jax.ShapeDtypeStruct(cache_kv.shape, cache_kv.dtype),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -371,15 +387,17 @@ def decode_step(
             pl.BlockSpec((2, e), lambda n, *_: (0, 0)),                # fnorm
             pl.BlockSpec((e, e), lambda n, *_: (0, 0)),                # proj_w
             pl.BlockSpec((1, e), lambda n, *_: (0, 0)),                # proj_b
-            pl.BlockSpec((1, lyr, s, e), lambda n, *_: (n, 0, 0, 0)),  # cross_k
-            pl.BlockSpec((1, lyr, s, e), lambda n, *_: (n, 0, 0, 0)),  # cross_v
-            pl.BlockSpec((1, s, e), lambda n, *_: (n, 0, 0)),          # memory
-            pl.BlockSpec((1, 1, s), lambda n, *_: (n, 0, 0)),          # mem_bias
+            pl.BlockSpec((1, b, lyr, s, e),
+                         lambda n, *_: (n, 0, 0, 0, 0)),               # cross_k
+            pl.BlockSpec((1, b, lyr, s, e),
+                         lambda n, *_: (n, 0, 0, 0, 0)),               # cross_v
+            pl.BlockSpec((1, b, s, e), lambda n, *_: (n, 0, 0, 0)),    # memory
+            pl.BlockSpec((1, b, 1, s), lambda n, *_: (n, 0, 0, 0)),    # mem_bias
             pl.BlockSpec(memory_space=pltpu.ANY),                      # cache_kv
         ],
         out_specs=(
             pl.BlockSpec((1, f, e), lambda n, *_: (n, 0, 0)),          # x_out
-            pl.BlockSpec((1, 1, f), lambda n, *_: (n, 0, 0)),          # tokens
+            pl.BlockSpec((1, b, f // b), lambda n, *_: (n, 0, 0)),     # tokens
             pl.BlockSpec(memory_space=pltpu.ANY),                      # cache_kv
         ),
         scratch_shapes=[
@@ -391,7 +409,8 @@ def decode_step(
         ],
     )
     kernel = functools.partial(
-        _kernel, num_layers=num_layers, num_head=num_head, t_pad=t_pad)
+        _kernel, num_layers=num_layers, num_head=num_head, t_pad=t_pad,
+        samples_per_block=b)
     x_next, tokens, cache_kv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -412,4 +431,4 @@ def decode_step(
       packed["ffn_w1"], packed["ffn_w2"], packed["ffn_b1"],
       packed["final_norm"], packed["proj_w"], packed["proj_b"],
       cross_k, cross_v, memory, mem_bias, cache_kv)
-    return x_next, tokens[:, 0, :], cache_kv
+    return x_next, tokens, cache_kv
