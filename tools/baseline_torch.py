@@ -106,19 +106,23 @@ def main():
         [random_sample(rng) for _ in range(args.samples)], cfg)
 
     # batch size 1, like the reference test loop (trainer.py:51)
-    total_time, total_faces = 0.0, 0
+    per_sample = []
+    total_faces = 0
     for i in range(args.samples):
         item = collate([ds[i]])
         inputs = torch.tensor(item["input"])
         mask = torch.tensor(item["input_mask"])
         t0 = time.perf_counter()
         model.decode_sample(inputs, mask, int(item["num_input"][0]))
-        total_time += time.perf_counter() - t0
+        per_sample.append(time.perf_counter() - t0)
         total_faces += cfg.num_lines
+    total_time = sum(per_sample)
 
     result = {
         "face_seqs_per_sec": total_faces / total_time,
         "avg_time_per_sample": total_time / args.samples,
+        "per_sample_seconds": [round(t, 2) for t in per_sample],
+        "std_seconds": round(float(np.std(per_sample)), 2),
         "samples": args.samples,
         "procedure": "reference eval loop: batch=1, full-prefix re-run, no KV cache",
         "hardware": "CPU (torch, single process)",
