@@ -44,17 +44,52 @@ def parse_splits_list(root_dir: str, splits: Union[str, Sequence[str]]) -> List[
     return info_files
 
 
+class _LazyRawList:
+    """Raw sample JSONs, loaded on first access. The native-loader fast path
+    never needs them for training; eval (metrics + prediction dump) touches
+    only its split's samples, which load lazily here."""
+
+    def __init__(self, root_dir: str, info_files: Sequence[str]):
+        self._root_dir = root_dir
+        self._info_files = list(info_files)
+        self._cache: Dict[int, Dict] = {}
+
+    def __len__(self) -> int:
+        return len(self._info_files)
+
+    def __getitem__(self, index: int) -> Dict:
+        if index not in self._cache:
+            with open(os.path.join(self._root_dir, self._info_files[index])) as f:
+                self._cache[index] = json.load(f)
+        return self._cache[index]
+
+
 class _BaseDataset:
+    _parallel = False  # label layout; overridden by ABCDatasetParallel
+
     def __init__(self, root_dir: str, splits: Union[str, Sequence[str]], config: ModelConfig):
         self.root_dir = root_dir
         self.config = config
         self.info_files = parse_splits_list(root_dir, splits)
-        # preload all JSONs to RAM (reference: data.py:48-51)
+        self._cache: Dict[int, Dict] = {}
+        # fast path: one threaded C++ pass does load+parse+resample+pack for
+        # the whole split (native/dataloader.cc); raw JSONs then load lazily,
+        # only where eval needs them
+        self._packed = None
+        from faceformer_tpu.data import native_loader
+
+        if native_loader.enabled() and native_loader.available():
+            paths = [os.path.join(root_dir, f) for f in self.info_files]
+            self._packed = native_loader.load_pack_files(
+                paths, config, parallel=self._parallel)
+        if self._packed is not None:
+            self.raw_datas = _LazyRawList(root_dir, self.info_files)
+            return
+        # reference behavior: preload all JSONs to RAM (data.py:48-51)
         self.raw_datas: List[Dict] = []
         for info_file in self.info_files:
             with open(os.path.join(root_dir, info_file), "r") as f:
                 self.raw_datas.append(json.load(f))
-        self._cache: Dict[int, Dict] = {}
 
     @classmethod
     def from_samples(cls, samples: Sequence[Dict], config: ModelConfig, names=None):
@@ -65,17 +100,37 @@ class _BaseDataset:
         obj.raw_datas = list(samples)
         obj.info_files = list(names) if names else [f"json/{i:08d}.json" for i in range(len(samples))]
         obj._cache = {}
+        obj._packed = None
         return obj
 
     def __len__(self) -> int:
         return len(self.raw_datas)
+
+    def _from_packed(self, index: int) -> Dict:
+        p = self._packed
+        tok = self.config.token
+        label = p["label"][index]
+        sample = {
+            "id": index,
+            "name": self.info_files[index],
+            "input": p["input"][index],
+            "input_mask": p["input_mask"][index],
+            "num_input": int(p["num_input"][index]),
+            "label": label,
+            "label_mask": label == tok.PAD,
+        }
+        key = "num_faces" if self._parallel else "num_label"
+        sample[key] = int(p[key][index])
+        return sample
 
     def __getitem__(self, index: int) -> Dict:
         # packing is deterministic: memoize so epochs after the first skip
         # the host-side resample/pack work entirely (the reference re-packs
         # every epoch in DataLoader workers)
         if index not in self._cache:
-            self._cache[index] = self._pack(index)
+            self._cache[index] = (
+                self._from_packed(index) if self._packed is not None
+                else self._pack(index))
         return self._cache[index]
 
 
@@ -92,6 +147,8 @@ class ABCDataset(_BaseDataset):
 
 class ABCDatasetParallel(_BaseDataset):
     """Per-edge-anchor dataset: one label row per loop rotation."""
+
+    _parallel = True
 
     def _pack(self, index: int) -> Dict:
         raw = self.raw_datas[index]
