@@ -32,6 +32,11 @@
 #include <thread>
 #include <vector>
 
+// from geometry_kernel.cc (same .so): the parity-tested resampler
+extern "C" void resample_edges(const double* points, const int64_t* offsets,
+                               int64_t num_edges, int64_t num_samples,
+                               float* out);
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -169,8 +174,93 @@ struct Parser {
   }
 };
 
+// edges parsed straight into flat buffers (points + offsets), skipping the
+// generic DOM — they are ~90% of the bytes and the per-point Value
+// allocations dominate parse time otherwise
+struct FlatEdges {
+  std::vector<double> pts;       // x0,y0,x1,y1,...
+  std::vector<int64_t> offsets;  // edge i spans points [offsets[i], offsets[i+1])
+};
+
+bool parse_edges_flat(Parser* ps, FlatEdges* out) {
+  ps->skip_ws();
+  if (ps->p >= ps->end || *ps->p != '[') return ps->fail("edges: expected [");
+  ++ps->p;
+  out->pts.clear();
+  out->offsets.clear();
+  out->offsets.push_back(0);
+  ps->skip_ws();
+  if (ps->p < ps->end && *ps->p == ']') {
+    ++ps->p;
+    return true;
+  }
+  while (true) {  // one edge: [ [x,y], ... ]
+    ps->skip_ws();
+    if (ps->p >= ps->end || *ps->p != '[')
+      return ps->fail("edge: expected [");
+    ++ps->p;
+    ps->skip_ws();
+    if (ps->p < ps->end && *ps->p != ']') {
+      while (true) {  // one point: [x,y]
+        ps->skip_ws();
+        if (ps->p >= ps->end || *ps->p != '[')
+          return ps->fail("point: expected [");
+        ++ps->p;
+        char* q = nullptr;
+        ps->skip_ws();
+        const double x = std::strtod(ps->p, &q);
+        if (q == ps->p) return ps->fail("point: bad x");
+        ps->p = q;
+        ps->skip_ws();
+        if (ps->p >= ps->end || *ps->p != ',')
+          return ps->fail("point: expected ,");
+        ++ps->p;
+        ps->skip_ws();
+        const double y = std::strtod(ps->p, &q);
+        if (q == ps->p) return ps->fail("point: bad y");
+        ps->p = q;
+        ps->skip_ws();
+        // tolerate >2 coords per point (truncate like numpy [:, :2])
+        while (ps->p < ps->end && *ps->p == ',') {
+          ++ps->p;
+          std::strtod(ps->p, &q);
+          if (q == ps->p) return ps->fail("point: bad extra coord");
+          ps->p = q;
+          ps->skip_ws();
+        }
+        if (ps->p >= ps->end || *ps->p != ']')
+          return ps->fail("point: expected ]");
+        ++ps->p;
+        out->pts.push_back(x);
+        out->pts.push_back(y);
+        ps->skip_ws();
+        if (ps->p < ps->end && *ps->p == ',') {
+          ++ps->p;
+          continue;
+        }
+        break;
+      }
+      ps->skip_ws();
+    }
+    if (ps->p >= ps->end || *ps->p != ']')
+      return ps->fail("edge: expected ]");
+    ++ps->p;
+    out->offsets.push_back(static_cast<int64_t>(out->pts.size() / 2));
+    ps->skip_ws();
+    if (ps->p < ps->end && *ps->p == ',') {
+      ++ps->p;
+      continue;
+    }
+    if (ps->p < ps->end && *ps->p == ']') {
+      ++ps->p;
+      return true;
+    }
+    return ps->fail("edges: expected , or ]");
+  }
+}
+
 // parse just {"edges": ..., "faces_indices": ...} from a sample object
-bool parse_sample(const char* buf, size_t len, Value* edges, Value* faces,
+bool parse_sample(const char* buf, size_t len, FlatEdges* edges, Value* faces,
                   std::string* err) {
   Parser ps{buf, buf + len, {}};
   ps.skip_ws();
@@ -201,7 +291,7 @@ bool parse_sample(const char* buf, size_t len, Value* edges, Value* faces,
     ++ps.p;
     bool ok;
     if (key == "edges") {
-      ok = ps.parse_value(edges);
+      ok = parse_edges_flat(&ps, edges);
       have_edges = ok;
     } else if (key == "faces_indices") {
       ok = ps.parse_value(faces);
@@ -240,51 +330,6 @@ bool parse_sample(const char* buf, size_t len, Value* edges, Value* faces,
 struct TokenCfg {
   int32_t len, pad, sos, sep, eos, type_offset, dir0;
 };
-
-// resample one polyline to exactly P points (same math as resample_edges in
-// geometry_kernel.cc: 2-pt lerp, else round(linspace) subsampling)
-void resample_one(const Value& edge, int32_t num_samples, float* dst,
-                  bool* bad) {
-  const int64_t n = static_cast<int64_t>(edge.arr.size());
-  if (n < 2) {
-    *bad = true;
-    return;
-  }
-  auto pt = [&](int64_t i, int ax) -> double {
-    const Value& v = edge.arr[static_cast<size_t>(i)];
-    if (!v.is_arr() || v.arr.size() < 2 || !v.arr[0].is_num() ||
-        !v.arr[1].is_num()) {
-      *bad = true;
-      return 0.0;
-    }
-    return v.arr[static_cast<size_t>(ax)].num;
-  };
-  if (n == 2) {
-    const double x1 = pt(0, 0), y1 = pt(0, 1), x2 = pt(1, 0), y2 = pt(1, 1);
-    for (int64_t s = 0; s < num_samples; ++s) {
-      const double t =
-          (num_samples > 1)
-              ? static_cast<double>(s) / static_cast<double>(num_samples - 1)
-              : 0.0;
-      dst[2 * s] = static_cast<float>(x1 + (x2 - x1) * t);
-      dst[2 * s + 1] = static_cast<float>(y1 + (y2 - y1) * t);
-    }
-    return;
-  }
-  for (int64_t s = 0; s < num_samples; ++s) {
-    const double frac = (num_samples > 1)
-                            ? static_cast<double>(s) *
-                                  static_cast<double>(n - 1) /
-                                  static_cast<double>(num_samples - 1)
-                            : 0.0;
-    double idx_d = std::nearbyint(frac);  // numpy round-half-even
-    int64_t idx = static_cast<int64_t>(idx_d);
-    if (idx >= n) idx = n - 1;
-    if (idx < 0) idx = 0;
-    dst[2 * s] = static_cast<float>(pt(idx, 0));
-    dst[2 * s + 1] = static_cast<float>(pt(idx, 1));
-  }
-}
 
 bool loops_equal(const Value& a, const Value& b) {
   if (a.arr.size() != b.arr.size()) return false;
@@ -477,32 +522,35 @@ void worker(Job* job) {
       record_error(job, path, "short read");
       continue;
     }
-    Value edges, faces;
+    FlatEdges edges;
+    Value faces;
     std::string err;
     if (!parse_sample(buf.data(), buf.size(), &edges, &faces, &err)) {
       record_error(job, path, err);
       continue;
     }
-    if (!edges.is_arr() || !faces.is_arr()) {
-      record_error(job, path, "edges/faces_indices are not lists");
+    if (!faces.is_arr()) {
+      record_error(job, path, "faces_indices is not a list");
       continue;
     }
     const int32_t L = job->L, P = job->P, T = job->T;
-    const int64_t n_edges = static_cast<int64_t>(edges.arr.size());
+    const int64_t n_edges =
+        static_cast<int64_t>(edges.offsets.size()) - 1;
     if (n_edges > L) {
       record_error(job, path, "edges exceed num_lines");
       continue;
     }
-    float* inp = job->input_out + i * static_cast<int64_t>(L) * P * 2;
-    std::memset(inp, 0, sizeof(float) * static_cast<size_t>(L) * P * 2);
     bool bad = false;
     for (int64_t e = 0; e < n_edges; ++e)
-      resample_one(edges.arr[static_cast<size_t>(e)], P, inp + e * P * 2,
-                   &bad);
+      if (edges.offsets[e + 1] - edges.offsets[e] < 1) bad = true;
     if (bad) {
-      record_error(job, path, "malformed edge polyline");
+      record_error(job, path, "empty edge polyline");
       continue;
     }
+    float* inp = job->input_out + i * static_cast<int64_t>(L) * P * 2;
+    std::memset(inp, 0, sizeof(float) * static_cast<size_t>(L) * P * 2);
+    // same resampler the data pipeline's per-sample path uses
+    resample_edges(edges.pts.data(), edges.offsets.data(), n_edges, P, inp);
     uint8_t* msk = job->input_mask_out + i * L;
     for (int32_t e = 0; e < L; ++e) msk[e] = (e < n_edges) ? 0 : 1;
     job->num_input_out[i] = static_cast<int32_t>(n_edges);
