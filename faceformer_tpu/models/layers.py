@@ -152,9 +152,14 @@ def activation_fn(name: str):
     raise ValueError(f"activation should be relu/gelu/glu, not {name}")
 
 
-def causal_mask(size: int) -> jnp.ndarray:
-    """Boolean (size, size) mask, True above the diagonal (masked)."""
-    return jnp.triu(jnp.ones((size, size), dtype=bool), k=1)
+def causal_mask(size: int) -> np.ndarray:
+    """Boolean (size, size) mask, True above the diagonal (masked).
+
+    Built with numpy on purpose: under jit tracing a jnp-built mask is a
+    tracer, which _is_causal_mask cannot inspect — the flash kernel would
+    silently never engage for causal self-attention. A host constant stays
+    inspectable and folds into the graph identically."""
+    return np.triu(np.ones((size, size), dtype=bool), k=1)
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +170,7 @@ def causal_mask(size: int) -> jnp.ndarray:
 def _is_causal_mask(mask) -> bool:
     """True for masks built by causal_mask (a concrete upper-triangular
     constant); traced masks never match."""
-    if mask is None or not isinstance(mask, jnp.ndarray):
+    if mask is None or not isinstance(mask, (jnp.ndarray, np.ndarray)):
         return False
     try:
         arr = np.asarray(mask)

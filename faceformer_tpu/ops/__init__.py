@@ -1,22 +1,29 @@
 """Pallas TPU kernels for the hot ops.
 
-Enabled via FACEFORMER_PALLAS=1 (or faceformer_tpu.ops.enable()); every
-kernel has an XLA-composed fallback and parity tests that run the kernels in
-interpreter mode on CPU.
+Default: ON when running on a TPU backend (the kernels beat the XLA-composed
+paths on every measured training and decode shape — see benchmarks/README.md),
+OFF elsewhere (on CPU they would run through the interpreter, which is for
+parity tests, not speed). Override with FACEFORMER_PALLAS=1/0 or
+faceformer_tpu.ops.enable().
 """
 
 import os
 
-_ENABLED = os.environ.get("FACEFORMER_PALLAS", "0") not in ("0", "", "false")
+_ENV = os.environ.get("FACEFORMER_PALLAS", "").strip().lower()
+_FORCED = None if _ENV in ("", "auto") else _ENV not in ("0", "false")
 
 
 def enable(on: bool = True) -> None:
-    global _ENABLED
-    _ENABLED = on
+    global _FORCED
+    _FORCED = on
 
 
 def enabled() -> bool:
-    return _ENABLED
+    if _FORCED is not None:
+        return _FORCED
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def interpret_mode() -> bool:

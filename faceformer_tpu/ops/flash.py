@@ -7,15 +7,25 @@ computes attention forward with only (out, logsumexp) residuals and
 recomputes probabilities on the fly in the backward pass — the standard
 flash-attention recipe.
 
-Key lengths here are short (<= 256 after padding) so K/V stay VMEM-resident
-per (sample, head); the query axis — which carries the folded anchor axis
-and can reach tens of thousands of rows — is tiled over the grid. The
-backward pass accumulates dK/dV across query blocks by revisiting the same
-output block over sequential grid steps.
+Layout regime (every rule below was measured on v5e, not guessed):
+  - Kernels consume the NATURAL packed layout (N, S, H*hd): the projection
+    GEMMs already produce it, so q/k/v/out/do need no (N,S,H,hd) ->
+    (N*H,S,hd) fold. The fold transposes were ~20 ms/decoder-layer of pure
+    HBM copies — more than the attention math itself. Heads are sliced
+    lane-wise INSIDE the kernel from VMEM-resident blocks, where the
+    relayout is kilobytes, not hundreds of megabytes.
+  - The decoder self-attention is ~7k independent tiny sequences (N*F
+    anchor rows, 37 tokens each). One grid step per sequence drowns in
+    per-step overhead (measured 36 ms/call vs 9 ms XLA); the grid therefore
+    batches G rows per step as a leading block dim.
+  - Sk pads to the SUBLANE (8), not the lane (128): padded score lanes get
+    NEG bias so their probability underflows to zero exactly.
+  - logsumexp residuals are (N, Sq, H) — compact (the first version's
+    128-lane broadcast wrote ~1 GB of redundant lse per call).
 
 Attention-probability dropout runs INSIDE the kernels: both passes reseed
-the TPU PRNG with the same per-block seed and regenerate identical keep
-masks, so no mask tensor is ever materialized. (The reference applies
+the TPU PRNG with the same per-(block, head) seed and regenerate identical
+keep masks, so no mask tensor is ever materialized. (The reference applies
 dropout to attention probabilities, transformer.py:146-156 via
 nn.MultiheadAttention.) The PRNG primitives have no interpreter lowering
 on this platform, so dropout parity tests are TPU-only.
@@ -45,108 +55,137 @@ def padding_mask_bias(key_padding_mask) -> jnp.ndarray:
     return jnp.where(key_padding_mask, NEG, 0.0).astype(jnp.float32)
 
 
-def _scores(q, k, bias_row, scale, causal, sq_block):
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + bias_row  # (1, Sk) additive mask bias (0 or NEG)
-    if causal:
-        j = pl.program_id(1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * sq_block
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(cols > rows, NEG, s)
-    return s
+def _block_geometry(n: int, sq: int, sk: int):
+    """(G rows per grid step, sq_block, padded sq, padded sk)."""
+    sq_pad = _round_up(sq, SUBLANE)
+    # largest multiple of 8 <= SQ_BLOCK that divides sq_pad, so no query
+    # padding beyond the sublane round-up is ever needed
+    sq_block = SUBLANE
+    for b in range(min(SQ_BLOCK, sq_pad), 0, -SUBLANE):
+        if sq_pad % b == 0:
+            sq_block = b
+            break
+    g = 1
+    for cand in (16, 8, 4, 2):
+        if cand * sq_block <= 1024 and n % cand == 0:
+            g = cand
+            break
+    sk_pad = _round_up(sk, SUBLANE)
+    return g, sq_block, sq_pad, sk_pad
 
 
-def _keep_mask(seed_ref, shape, rate):
-    """Deterministic per-block bernoulli keep mask from the TPU PRNG."""
+def _keep_mask(seed_ref, shape, rate, head):
+    """Deterministic per-(block, head) bernoulli keep mask (TPU PRNG)."""
     block = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + block)
+    pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + block * 256 + head)
     bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32((1.0 - rate) * 4294967296.0)
     return pltpu.bitcast(bits, jnp.uint32) < threshold
 
 
+def _head_scores(qh, kh, bias, scale, causal, sq_block):
+    """qh (G, SQ, hd), kh (G, Sk, hd), bias (G, 1, Sk) -> (G, SQ, Sk) f32."""
+    s = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    s = s + bias
+    if causal:
+        j = pl.program_id(1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * sq_block
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(cols > rows, NEG, s)
+    return s
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, out_ref, lse_ref,
-                *, scale, causal, sq_block, dropout_rate):
-    s = _scores(q_ref[0], k_ref[0], bias_ref[0], scale, causal, sq_block)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    # lse broadcast across the lane dim (single-lane outputs tile poorly)
-    lse_ref[0] = jnp.broadcast_to(m + jnp.log(denom), lse_ref[0].shape)
-    p = e / denom
-    if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
-        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-    out_ref[0] = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+                *, scale, causal, sq_block, dropout_rate, num_head):
+    hd = q_ref.shape[-1] // num_head
+    bias = bias_ref[:]  # (G, 1, Sk)
+    for h in range(num_head):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = _head_scores(q_ref[:, :, sl], k_ref[:, :, sl], bias, scale,
+                         causal, sq_block)
+        m = jnp.max(s, axis=-1, keepdims=True)   # (G, SQ, 1)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        lse_ref[:, :, h] = (m + jnp.log(denom))[..., 0]  # (G, SQ)
+        p = e / denom
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref, p.shape, dropout_rate, h)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        out_ref[:, :, sl] = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:, :, sl],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, causal, sq_block, dropout_rate):
-    s = _scores(q_ref[0], k_ref[0], bias_ref[0], scale, causal, sq_block)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # pre-dropout probs; masked cols -> 0
-    do = do_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+                dq_ref, dk_ref, dv_ref, *, scale, causal, sq_block,
+                dropout_rate, num_head):
+    hd = q_ref.shape[-1] // num_head
+    bias = bias_ref[:]
+    first = pl.program_id(1) == 0
+    for h in range(num_head):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        do = do_ref[:, :, sl].astype(jnp.float32)
+        s = _head_scores(q, k, bias, scale, causal, sq_block)
+        p = jnp.exp(s - lse_ref[:, :, h][..., None])  # pre-dropout; masked -> 0
 
-    # dp~ = dO V^T is the gradient wrt the (possibly dropped) probabilities;
-    # the same keep mask regenerates from the same per-block seed
-    dpt = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (SQ, Sk)
-    if dropout_rate > 0.0:
-        keep = _keep_mask(seed_ref, p.shape, dropout_rate)
-        p_used = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-        dp = jnp.where(keep, dpt / (1.0 - dropout_rate), 0.0)
-    else:
-        p_used = p
-        dp = dpt
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale
-
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-
-    # dK/dV accumulate over query blocks: the (i, j) grid revisits the same
-    # dk/dv block for every j, sequentially on TPU
-    dk_part = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dpt = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
                                   preferred_element_type=jnp.float32)
-    dv_part = jax.lax.dot_general(p_used, do, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref, p.shape, dropout_rate, h)
+            p_used = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+            dp = jnp.where(keep, dpt / (1.0 - dropout_rate), 0.0)
+        else:
+            p_used = p
+            dp = dpt
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        dk_ref[0] = dk_part
-        dv_ref[0] = dv_part
+        dq_ref[:, :, sl] = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
 
-    @pl.when(pl.program_id(1) != 0)
-    def _():
-        dk_ref[0] = dk_ref[0] + dk_part
-        dv_ref[0] = dv_ref[0] + dv_part
+        # dK/dV accumulate over query blocks: the (i, j) grid revisits the
+        # same dk/dv block for every j, sequentially on TPU
+        dk_part = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                      preferred_element_type=jnp.float32)
+        dv_part = jax.lax.dot_general(p_used, do, (((1,), (1,)), ((0,), (0,))),
+                                      preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _():
+            dk_ref[:, :, sl] = dk_part
+            dv_ref[:, :, sl] = dv_part
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dk_ref[:, :, sl] = dk_ref[:, :, sl] + dk_part
+            dv_ref[:, :, sl] = dv_ref[:, :, sl] + dv_part
 
 
 def _prepare(q, k, v, bias):
-    """Pad/fold (N, S, H, hd) inputs to (N*H, S_pad, hd_pad) blocks; the
-    (N, Sk) float bias pads with NEG so tiling slots never attend."""
+    """Pack (N, S, H, hd) -> (N, S_pad, E) views + padded (N, 1, Sk) bias.
+    The head-merge reshape is free (contiguous); only the sublane round-up
+    of S pads, and only when S % 8 != 0."""
     n, sq, h, hd = q.shape
     sk = k.shape[1]
-    hd_pad = _round_up(hd, LANE)
-    sq_block = min(SQ_BLOCK, _round_up(sq, SUBLANE))
-    sq_pad = _round_up(sq, sq_block)
-    sk_pad = _round_up(sk, LANE)
+    g, sq_block, sq_pad, sk_pad = _block_geometry(n, sq, sk)
 
-    def fold(x, s_pad):
-        x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0), (0, hd_pad - hd)))
-        return x.transpose(0, 2, 1, 3).reshape(n * h, s_pad, hd_pad)
+    def pack(x, s_pad):
+        x = x.reshape(n, x.shape[1], h * hd)
+        if s_pad != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+        return x
 
     bias = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, sk_pad - sk)),
-                   constant_values=NEG)
-    bias = jnp.repeat(bias[:, None, :], h, axis=1).reshape(n * h, 1, sk_pad)
-    return (fold(q, sq_pad), fold(k, sk_pad), fold(v, sk_pad), bias,
-            (sq_pad, sk_pad, hd_pad, sq_block))
+                   constant_values=NEG)[:, None, :]
+    return (pack(q, sq_pad), pack(k, sk_pad), pack(v, sk_pad), bias,
+            (g, sq_block, sq_pad, sk_pad))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -165,37 +204,47 @@ def flash_attention(q, k, v, bias, seed=None, causal=False, interpret=False,
     return out
 
 
+def _specs(g, sq_block, sk_pad, e, num_head):
+    qspec = pl.BlockSpec((g, sq_block, e), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((g, sk_pad, e), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((g, 1, sk_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    # lse is (N, Sq, H): heads on the LAST axis with block == array dim, so
+    # Mosaic's "last two block dims divisible by (8, 128) or equal to the
+    # array" rule holds for any g / sq_block (the 8->128 lane tile padding
+    # wastes 16x on this small residual; acceptable)
+    lspec = pl.BlockSpec((g, sq_block, num_head), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, bspec, lspec
+
+
 def _flash_fwd_impl(q, k, v, bias, seed, causal, interpret, dropout_rate):
     n, sq, h, hd = q.shape
+    e = h * hd
     scale = hd ** -0.5
-    qf, kf, vf, biasf, (sq_pad, sk_pad, hd_pad, sq_block) = _prepare(q, k, v, bias)
-    grid = (n * h, sq_pad // sq_block)
+    qf, kf, vf, biasf, (g, sq_block, sq_pad, sk_pad) = _prepare(q, k, v, bias)
+    grid = (n // g, sq_pad // sq_block)
+    qspec, kspec, bspec, lspec = _specs(g, sq_block, sk_pad, e, h)
 
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                               sq_block=sq_block, dropout_rate=dropout_rate)
+                               sq_block=sq_block, dropout_rate=dropout_rate,
+                               num_head=h)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, sq_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, sq_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq_block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ),
+        in_specs=[qspec, kspec, kspec, bspec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(qspec, lspec),
         out_shape=(
-            jax.ShapeDtypeStruct((n * h, sq_pad, hd_pad), q.dtype),
-            jax.ShapeDtypeStruct((n * h, sq_pad, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n, sq_pad, e), q.dtype),
+            jax.ShapeDtypeStruct((n, sq_pad, h), jnp.float32),
         ),
         interpret=interpret,
     )(qf, kf, vf, biasf, seed)
 
-    out4 = out.reshape(n, h, sq_pad, hd_pad).transpose(0, 2, 1, 3)[:, :sq, :, :hd]
-    return out4, lse
+    return out[:, :sq].reshape(n, sq, h, hd), lse
 
 
 def _flash_fwd(q, k, v, bias, seed, causal, interpret, dropout_rate):
@@ -205,48 +254,38 @@ def _flash_fwd(q, k, v, bias, seed, causal, interpret, dropout_rate):
     return out, (q, k, v, bias, seed, lse)
 
 
-def _flash_bwd(causal, interpret, dropout_rate, residuals, g):
+def _flash_bwd(causal, interpret, dropout_rate, residuals, g_out):
     q, k, v, bias, seed, lse = residuals
     n, sq, h, hd = q.shape
+    e = h * hd
     sk = k.shape[1]
     scale = hd ** -0.5
-    qf, kf, vf, biasf, (sq_pad, sk_pad, hd_pad, sq_block) = _prepare(q, k, v, bias)
-    gf = _prepare(g, k, v, bias)[0]
-    grid = (n * h, sq_pad // sq_block)
+    qf, kf, vf, biasf, (g, sq_block, sq_pad, sk_pad) = _prepare(q, k, v, bias)
+    gf = _prepare(g_out, k, v, bias)[0]
+    grid = (n // g, sq_pad // sq_block)
+    qspec, kspec, bspec, lspec = _specs(g, sq_block, sk_pad, e, h)
 
     kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                               sq_block=sq_block, dropout_rate=dropout_rate)
+                               sq_block=sq_block, dropout_rate=dropout_rate,
+                               num_head=h)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, sq_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, sq_block, LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, sq_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        in_specs=[qspec, kspec, kspec, bspec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM), lspec, qspec],
+        out_specs=(qspec, kspec, kspec),
         out_shape=(
-            jax.ShapeDtypeStruct((n * h, sq_pad, hd_pad), q.dtype),
-            jax.ShapeDtypeStruct((n * h, sk_pad, hd_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n * h, sk_pad, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, sq_pad, e), q.dtype),
+            jax.ShapeDtypeStruct((n, sk_pad, e), jnp.float32),
+            jax.ShapeDtypeStruct((n, sk_pad, e), jnp.float32),
         ),
         interpret=interpret,
     )(qf, kf, vf, biasf, seed, lse, gf)
 
-    def unfold(x, s_orig, s_pad):
-        return x.reshape(n, h, s_pad, hd_pad).transpose(0, 2, 1, 3)[:, :s_orig, :, :hd]
-
     # bias is a mask and seed is RNG material: zero cotangents by design
-    return (unfold(dq, sq, sq_pad), unfold(dk, sk, sk_pad).astype(k.dtype),
-            unfold(dv, sk, sk_pad).astype(v.dtype),
+    return (dq[:, :sq].reshape(n, sq, h, hd),
+            dk[:, :sk].reshape(n, sk, h, hd).astype(k.dtype),
+            dv[:, :sk].reshape(n, sk, h, hd).astype(v.dtype),
             jnp.zeros_like(bias, dtype=jnp.float32),
             jnp.zeros_like(seed))
 

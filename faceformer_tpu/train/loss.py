@@ -40,10 +40,16 @@ def pointer_cross_entropy(
                         preferred_element_type=jnp.float32)
 
     valid = labels2 != token.PAD
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(log_probs, labels2[..., None], axis=-1)[..., 0]
+    # CE as logsumexp - picked_logit, with picked selected by a one-hot
+    # compare instead of take_along_axis: the gather's backward lowers to a
+    # scatter over the (N, R, S) logits, which serializes on TPU (measured
+    # 25x the rest of the backward at flagship dims); the one-hot select's
+    # backward is an elementwise mask
+    onehot = labels2[..., None] == jnp.arange(s, dtype=labels2.dtype)
+    picked = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
+    logz = jax.nn.logsumexp(logits, axis=-1)
     valid_sum = valid.sum()
-    loss = -(picked * valid).sum() / valid_sum
+    loss = ((logz - picked) * valid).sum() / valid_sum
 
     pred = jnp.argmax(logits, axis=-1)
     acc_sum = (valid & (pred == labels2)).sum()
