@@ -169,7 +169,7 @@ class Harness:
             os.path.join(self.log_dir, "checkpoints"), top_k=cfg.trainer.save_top_k)
         train_ds = self.dataset("train")
         step_fn = self.train_step()
-        rng = jax.random.PRNGKey(cfg.trainer.seed + 1)
+        rng = jax.random.key(cfg.trainer.seed + 1, impl=cfg.trainer.rng_impl)
         max_epochs = max_epochs or cfg.trainer.max_epochs
 
         params, opt_state = state["params"], state["opt_state"]
