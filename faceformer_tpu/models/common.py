@@ -83,6 +83,32 @@ def encode(
     return memory, pos, padded_mask
 
 
+def pad_target_time(
+    target: jnp.ndarray, tgt_key_padding: jnp.ndarray, t: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Pad the face-token (time) axis to a sublane multiple (8) ONCE before
+    the decoder stack. Without this every flash-attention call pads its own
+    query axis — 3 pads plus a slice of a ~260 MB tensor per decoder layer
+    at flagship dims. Padded positions carry PAD tokens and a True
+    key-padding mask, and sit AFTER every real position, so causal
+    attention leaves real outputs bit-identical; callers slice the pointer
+    output back to t."""
+    t_pad = -(-t // 8) * 8
+    if t_pad == t:
+        return target, tgt_key_padding, t_pad
+    width = [(0, 0)] * (target.ndim - 1) + [(0, t_pad - t)]
+    return (jnp.pad(target, width),
+            jnp.pad(tgt_key_padding, width, constant_values=True), t_pad)
+
+
+def padded_query_pos(table: jnp.ndarray, t: int, t_pad: int, dtype) -> jnp.ndarray:
+    """First t learned query positions, zero-padded to t_pad rows."""
+    qp = table[:t].astype(dtype)
+    if t_pad != t:
+        qp = jnp.pad(qp, ((0, t_pad - t), (0, 0)))
+    return qp
+
+
 def gather_memory_rows(memory: jnp.ndarray, token_ids: jnp.ndarray) -> jnp.ndarray:
     """Decoder inputs are rows of encoder memory at token indices — the
     pointer-network trick (reference: model.py:147, model_para.py:155).

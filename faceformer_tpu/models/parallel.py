@@ -28,6 +28,8 @@ from faceformer_tpu.models.common import (
     encode,
     gather_memory_rows,
     init_params,
+    pad_target_time,
+    padded_query_pos,
     pointer_logits,
 )
 
@@ -69,8 +71,11 @@ class SurfaceFormerParallel:
         target, shifted_label = label[:, :, :-1], label[:, :, 1:]
         tgt_key_padding = batch["label_mask"][:, :, :-1]  # (N, F, T-1)
         t = target.shape[-1]
-        tgt_mask = L.causal_mask(t)
-        query_pos = params["query_pos_table"][None, None, :t].astype(dtype)
+        target, tgt_key_padding, t_pad = pad_target_time(
+            target, tgt_key_padding, t)
+        tgt_mask = L.causal_mask(t_pad)
+        query_pos = padded_query_pos(
+            params["query_pos_table"], t, t_pad, dtype)[None, None]
 
         # broadcast memory across the anchor axis instead of repeating it
         mem_b = memory[:, None]  # (N, 1, 4+L, E)
@@ -99,7 +104,7 @@ class SurfaceFormerParallel:
                 jax.random.uniform(r_ss, target.shape) < scheduled_sampling_ratio)
             target = jnp.where(use_sampled, sampled, target)
 
-        pointer = run_decoder(target, r_dec)
+        pointer = run_decoder(target, r_dec)[:, :, :t]
         return {
             "embedding": memory,
             "pointer": pointer,

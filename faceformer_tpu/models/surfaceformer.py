@@ -20,6 +20,8 @@ from faceformer_tpu.models.common import (
     gather_memory_rows,
     init_params,
     masked_argmax,
+    pad_target_time,
+    padded_query_pos,
     pointer_logits,
 )
 
@@ -62,8 +64,11 @@ class SurfaceFormer:
         target, shifted_label = label[:, :-1], label[:, 1:]
         tgt_key_padding = batch["label_mask"][:, :-1]
         t = target.shape[1]
-        tgt_mask = L.causal_mask(t)
-        query_pos = params["query_pos_table"][None, :t].astype(dtype)
+        target, tgt_key_padding, t_pad = pad_target_time(
+            target, tgt_key_padding, t)
+        tgt_mask = L.causal_mask(t_pad)
+        query_pos = padded_query_pos(
+            params["query_pos_table"], t, t_pad, dtype)[None]
 
         def run_decoder(tokens, dec_rng):
             tgt = gather_memory_rows(memory, tokens)
@@ -90,7 +95,7 @@ class SurfaceFormer:
                 jax.random.uniform(r_ss, target.shape) < scheduled_sampling_ratio)
             target = jnp.where(use_sampled, sampled, target)
 
-        pointer = run_decoder(target, r_dec)
+        pointer = run_decoder(target, r_dec)[:, :t]
         return {
             "embedding": memory,
             "pointer": pointer,

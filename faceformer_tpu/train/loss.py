@@ -27,8 +27,11 @@ def pointer_cross_entropy(
     Works for both the flat model (pointer (N, T, E)) and the parallel model
     (pointer (N, F, T, E)) — trailing axes are flattened.
     """
-    memory = outputs["embedding"].astype(jnp.float32)
-    pointer = outputs["pointer"].astype(jnp.float32)
+    # operands keep their compute dtype (bf16 in training): the logits GEMM
+    # accumulates in fp32 either way, and bf16 x bf16 products are exact in
+    # fp32 — upcasting first only doubled the GEMM's HBM traffic
+    memory = outputs["embedding"]
+    pointer = outputs["pointer"]
     labels = outputs["label"].astype(jnp.int32)
 
     n, s = memory.shape[0], memory.shape[1]
