@@ -57,6 +57,24 @@ def _device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
 
 
+def _prefetch_to_device(batches, put):
+    """Lookahead-1 device prefetch: the NEXT batch's host->device transfer
+    (async under jax.device_put) is issued before the current batch's step
+    result is consumed, so the copy overlaps compute. At the `ours` dims a
+    batch-32 upload is ~4 MB — a material fraction of the 0.48 s step on a
+    network-tunneled device if left synchronous."""
+    it = iter(batches)
+    try:
+        nxt = put(next(it))
+    except StopIteration:
+        return
+    for batch in it:
+        cur = nxt
+        nxt = put(batch)
+        yield cur
+    yield nxt
+
+
 class Harness:
     def __init__(self, cfg: Config, datasets: Optional[Dict[str, Any]] = None):
         self.cfg = cfg
@@ -169,7 +187,9 @@ class Harness:
             os.path.join(self.log_dir, "checkpoints"), top_k=cfg.trainer.save_top_k)
         train_ds = self.dataset("train")
         step_fn = self.train_step()
-        rng = jax.random.key(cfg.trainer.seed + 1, impl=cfg.trainer.rng_impl)
+        impl = {"threefry": "threefry2x32"}.get(
+            cfg.trainer.rng_impl, cfg.trainer.rng_impl)
+        rng = jax.random.key(cfg.trainer.seed + 1, impl=impl)
         max_epochs = max_epochs or cfg.trainer.max_epochs
 
         params, opt_state = state["params"], state["opt_state"]
@@ -179,17 +199,20 @@ class Harness:
             if self._epoch_schedule is not None:
                 opt_state.hyperparams["learning_rate"] = jnp.asarray(
                     self._epoch_schedule(epoch), dtype=jnp.float32)
-            for batch in iter_batches(
+            batches = iter_batches(
                 train_ds, cfg.batch_size_train, shuffle=True, drop_last=True,
                 seed=cfg.trainer.seed, epoch=epoch,
                 # multi-host (DCN) data striping: each process loads a
                 # disjoint stripe of the same global permutation; a no-op
                 # in single-process runs
                 process_index=jax.process_index(),
-                process_count=jax.process_count()):
+                process_count=jax.process_count())
+            for device_batch in _prefetch_to_device(
+                    batches,
+                    lambda b: shard_batch(_device_batch(b), self.mesh)):
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss, acc = step_fn(
-                    params, opt_state, shard_batch(_device_batch(batch), self.mesh), sub)
+                    params, opt_state, device_batch, sub)
                 step += 1
                 # lag-1 logging: fetch the PREVIOUS step's scalars after the
                 # current step is dispatched, so the device->host sync
@@ -208,11 +231,16 @@ class Harness:
             state.update(params=params, opt_state=opt_state, epoch=epoch + 1, step=step)
             tree = {"params": params, "opt_state": opt_state,
                     "epoch": jnp.int32(epoch + 1), "step": jnp.int32(step)}
+            # checkpoint on validation epochs plus the final epoch — the
+            # reference's cadence (ModelCheckpoint every_n_val_epochs=1 with
+            # check_val_every_n_epoch=checkpoint_period, main.py:31-37,75).
+            # Saving every epoch pulls the full param+opt tree device->host;
+            # on the tunneled TPU that cost 52 s against a 2.6 s epoch.
             if (epoch + 1) % cfg.trainer.checkpoint_period == 0:
                 results = self.validate(params, logger=logger, step=step)
                 ckpts.save(tree, cfg, epoch + 1,
                            metric_value=results["valid_precision"])
-            else:
+            elif epoch + 1 == max_epochs:
                 ckpts.save(tree, cfg, epoch + 1)
         logger.close()
         return state
@@ -340,5 +368,10 @@ class Harness:
             path, {"params": like["params"], "opt_state": like["opt_state"]})
         state["epoch"] = int(state.get("epoch", 0))
         state["step"] = int(state.get("step", 0))
+        # the restore yields HOST numpy arrays; without an explicit
+        # device_put every jitted call re-uploads the full tree (measured
+        # 3.45 s vs 79 ms per eval batch on the tunneled TPU)
+        state["params"] = shard_params(state["params"], self.mesh)
+        state["opt_state"] = jax.device_put(state["opt_state"])
         like.update(state)
         return like

@@ -69,6 +69,19 @@ class TestHarness:
         record = json.load(open(os.path.join(json_dir, files[0])))
         assert set(record) == {"edges", "dominant_directions", "pred_faces", "label_faces"}
 
+    def test_threefry_rng_impl_knob(self, tiny_cfg, tiny_harness):
+        # trainer.rng_impl defaults to "rbg" (exercised by test_fit_and_eval);
+        # the threefry setting must keep working for JAX-default determinism
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            tiny_cfg, trainer=dataclasses.replace(
+                tiny_cfg.trainer, rng_impl="threefry"))
+        harness = Harness(cfg, datasets=tiny_harness._datasets)
+        harness.log_dir = tiny_harness.log_dir
+        state = harness.fit(max_epochs=1)
+        assert state["epoch"] == 1
+
     def test_checkpoint_roundtrip(self, tiny_harness):
         ckpt_dir = os.path.join(tiny_harness.log_dir, "checkpoints")
         state = tiny_harness.load(os.path.join(ckpt_dir, "last"))
