@@ -96,20 +96,19 @@ class CheckpointManager:
         if metric_value is not None:
             name = f"epoch={epoch}-{self.metric}={metric_value:.4f}"
             path = os.path.join(self.directory, name)
-            entries: List[Tuple[float, str]] = [tuple(e) for e in self._index["top"]]
+            # entries are [metric, path, epoch]; legacy indexes carry
+            # [metric, path] and read back with epoch 0
+            entries = [tuple(e) + (0,) * (3 - len(e))
+                       for e in self._index["top"]]
             # >= (not >): on metric ties, prefer the NEWER checkpoint — a
             # model that first touches the metric ceiling is often underfit
             # elsewhere (observed: precision 1.0 at epoch 30 with recall
             # 0.78 vs recall 0.99 at epoch 110)
             if len(entries) < self.top_k or metric_value >= min(e[0] for e in entries):
                 self._write(path, state, meta)
-                entries.append((metric_value, path))
-                # stable sort keeps insertion order on ties; drop OLDEST
-                entries.sort(key=lambda e: -e[0])
-                entries = ([e for e in entries if e[0] > metric_value]
-                           + [e for e in entries if e[0] == metric_value][::-1]
-                           + [e for e in entries if e[0] < metric_value])
-                for _, stale in entries[self.top_k:]:
+                entries.append((metric_value, path, epoch))
+                entries.sort(key=lambda e: (-e[0], -e[2]))
+                for _, stale, _e in entries[self.top_k:]:
                     shutil.rmtree(stale, ignore_errors=True)
                     if os.path.exists(stale + ".meta.json"):
                         os.remove(stale + ".meta.json")

@@ -1,0 +1,115 @@
+"""Round-2 train-loop details: T-axis padding equivalence, batch prefetch
+ordering, checkpoint top-k tie-breaking."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from faceformer_tpu.config import ModelConfig
+from faceformer_tpu.data.batching import collate
+from faceformer_tpu.data.dataset import ABCDatasetParallel
+from faceformer_tpu.geometry.fixtures import random_sample
+from faceformer_tpu.models.common import pad_target_time, padded_query_pos
+from faceformer_tpu.models.parallel import SurfaceFormerParallel
+from faceformer_tpu.train.checkpoint import CheckpointManager
+from faceformer_tpu.train.loss import pointer_cross_entropy
+from faceformer_tpu.train.trainer import _prefetch_to_device
+
+
+class TestPadTargetTime:
+    def test_already_aligned_is_identity(self):
+        tgt = jnp.zeros((2, 3, 8), jnp.int32)
+        msk = jnp.zeros((2, 3, 8), bool)
+        t2, m2, t_pad = pad_target_time(tgt, msk, 8)
+        assert t_pad == 8 and t2 is tgt and m2 is msk
+
+    def test_pads_with_pad_tokens_and_true_mask(self):
+        tgt = jnp.ones((2, 5), jnp.int32)
+        msk = jnp.zeros((2, 5), bool)
+        t2, m2, t_pad = pad_target_time(tgt, msk, 5)
+        assert t_pad == 8 and t2.shape == (2, 8)
+        assert np.all(np.asarray(t2[:, 5:]) == 0)
+        assert np.all(np.asarray(m2[:, 5:]))
+        qp = padded_query_pos(jnp.ones((5, 4)), 5, t_pad, jnp.float32)
+        assert qp.shape == (8, 4) and np.all(np.asarray(qp[5:]) == 0)
+
+    def test_forward_train_loss_unchanged_by_alignment(self, rng):
+        """A max_face_length whose T-1 is already 8-aligned vs one that pads
+        must give identical losses for identical real content (the padded
+        tail is key-masked behind every real position)."""
+        import dataclasses
+
+        base = ModelConfig(
+            num_points_per_line=8, num_lines=32, label_seq_length=64,
+            max_num_faces=12, max_face_length=9,  # T-1 = 8: aligned
+            num_model=32, num_head=4, num_feedforward=48,
+            num_encoder_layers=1, num_decoder_layers=1, dropout=0.0)
+        wide = dataclasses.replace(base, max_face_length=12)  # T-1=11 -> 16
+        samples = [random_sample(rng) for _ in range(2)]
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(0), base)
+        # the wide config needs 11 query positions; extend the table with
+        # zero rows so real positions share identical learned values
+        wide_params = dict(params)
+        wide_params["query_pos_table"] = jnp.pad(
+            params["query_pos_table"], ((0, 3), (0, 0)))
+        losses = {}
+        for tag, cfg, p in (("aligned", base, params),
+                            ("padded", wide, wide_params)):
+            ds = ABCDatasetParallel.from_samples(samples, cfg)
+            batch = collate([ds[i] for i in range(2)])
+            batch = {k: v for k, v in batch.items()
+                     if not isinstance(v, (list, str))}
+            out = SurfaceFormerParallel.forward_train(p, cfg, batch)
+            losses[tag] = float(pointer_cross_entropy(out, cfg.token)[0])
+        # labels identical (fixture faces fit both budgets); only the static
+        # pad differs -> losses must agree to fp32 tolerance
+        assert losses["aligned"] == pytest.approx(losses["padded"], rel=1e-5)
+
+
+class TestPrefetch:
+    def test_order_and_completeness(self):
+        seen = []
+        out = list(_prefetch_to_device(range(5), lambda b: (seen.append(b), b)[1]))
+        assert out == [0, 1, 2, 3, 4]
+        assert seen == [0, 1, 2, 3, 4]
+
+    def test_empty(self):
+        assert list(_prefetch_to_device([], lambda b: b)) == []
+
+    def test_put_runs_ahead_of_consumption(self):
+        events = []
+        gen = _prefetch_to_device(range(3), lambda b: (events.append(("put", b)), b)[1])
+        assert next(gen) == 0
+        # by the time item 0 is handed out, item 1's transfer has started
+        assert ("put", 1) in events
+
+
+class TestTopKTieBreak:
+    def test_newest_kept_on_tie(self, tmp_path):
+        from faceformer_tpu.config import Config
+
+        mgr = CheckpointManager(str(tmp_path), top_k=2)
+        cfg = Config()
+        tree = {"w": jnp.zeros((2,))}
+        mgr.save(tree, cfg, 1, metric_value=1.0)
+        mgr.save(tree, cfg, 2, metric_value=1.0)
+        mgr.save(tree, cfg, 3, metric_value=1.0)
+        kept = sorted(e[1] for e in mgr._index["top"])
+        assert any("epoch=2" in p for p in kept)
+        assert any("epoch=3" in p for p in kept)
+        assert not any("epoch=1" in p for p in kept)
+
+    def test_higher_metric_still_wins(self, tmp_path):
+        from faceformer_tpu.config import Config
+
+        mgr = CheckpointManager(str(tmp_path), top_k=2)
+        cfg = Config()
+        tree = {"w": jnp.zeros((2,))}
+        mgr.save(tree, cfg, 1, metric_value=0.9)
+        mgr.save(tree, cfg, 2, metric_value=0.5)
+        mgr.save(tree, cfg, 3, metric_value=0.7)
+        kept = {e[1] for e in mgr._index["top"]}
+        assert any("epoch=1" in p for p in kept)
+        assert any("epoch=3" in p for p in kept)
