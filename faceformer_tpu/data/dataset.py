@@ -74,8 +74,11 @@ class _BaseDataset:
         self._cache: Dict[int, Dict] = {}
         # fast path: one threaded C++ pass does load+parse+resample+pack for
         # the whole split (native/dataloader.cc); raw JSONs then load lazily,
-        # only where eval needs them
+        # only where eval needs them. Files the native pass couldn't handle
+        # ("failed") re-pack individually through the Python path instead of
+        # reverting the whole corpus.
         self._packed = None
+        self._native_failed = frozenset()
         from faceformer_tpu.data import native_loader
 
         if native_loader.enabled() and native_loader.available():
@@ -83,6 +86,7 @@ class _BaseDataset:
             self._packed = native_loader.load_pack_files(
                 paths, config, parallel=self._parallel)
         if self._packed is not None:
+            self._native_failed = frozenset(self._packed.pop("failed", ()))
             self.raw_datas = _LazyRawList(root_dir, self.info_files)
             return
         # reference behavior: preload all JSONs to RAM (data.py:48-51)
@@ -101,6 +105,7 @@ class _BaseDataset:
         obj.info_files = list(names) if names else [f"json/{i:08d}.json" for i in range(len(samples))]
         obj._cache = {}
         obj._packed = None
+        obj._native_failed = frozenset()
         return obj
 
     def __len__(self) -> int:
@@ -128,9 +133,10 @@ class _BaseDataset:
         # the host-side resample/pack work entirely (the reference re-packs
         # every epoch in DataLoader workers)
         if index not in self._cache:
+            use_native = (self._packed is not None
+                          and index not in self._native_failed)
             self._cache[index] = (
-                self._from_packed(index) if self._packed is not None
-                else self._pack(index))
+                self._from_packed(index) if use_native else self._pack(index))
         return self._cache[index]
 
 

@@ -35,7 +35,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
         c.c_int32, c.c_int32,
         c.POINTER(c.c_float), c.POINTER(c.c_uint8), c.POINTER(c.c_int32),
-        c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_uint8),
         c.c_char_p, c.c_int64,
     ]
     lib.load_pack_files.restype = c.c_int64
@@ -57,8 +57,11 @@ def load_pack_files(
     """Parse + resample + pack ``paths`` in C++ threads.
 
     Returns dict(input (N,L,P,2) f32, input_mask (N,L) bool,
-    num_input (N,) i32, label (N,T)|(N,L,T) i32, num_label|num_faces (N,) i32)
-    or None on any failure (callers fall back to the Python packer).
+    num_input (N,) i32, label (N,T)|(N,L,T) i32, num_label|num_faces (N,) i32,
+    failed: tuple of indices that must re-pack through the Python path),
+    or None when the library is unavailable or EVERY file failed. Individual
+    bad files don't silently revert the whole corpus to the (15x slower)
+    Python preload: the warning names them and callers fall back per sample.
     """
     lib = _geometry_native.load()
     if lib is None or not hasattr(lib, "load_pack_files"):
@@ -77,6 +80,7 @@ def load_pack_files(
     num_input = np.empty(n, dtype=np.int32)
     label = np.empty((n, L, T) if parallel else (n, T), dtype=np.int32)
     num_label = np.empty(n, dtype=np.int32)
+    ok = np.zeros(n, dtype=np.uint8)
     err = ctypes.create_string_buffer(1024)
 
     encoded = [p.encode() for p in paths]
@@ -93,21 +97,31 @@ def load_pack_files(
         num_input.ctypes.data_as(c.POINTER(c.c_int32)),
         label.ctypes.data_as(c.POINTER(c.c_int32)),
         num_label.ctypes.data_as(c.POINTER(c.c_int32)),
+        ok.ctypes.data_as(c.POINTER(c.c_uint8)),
         err, len(err))
+    failed = tuple(int(i) for i in np.nonzero(ok == 0)[0])
     if failures:
         import warnings
 
+        shown = ", ".join(paths[i] for i in failed[:5])
+        more = f" (+{len(failed) - 5} more)" if len(failed) > 5 else ""
+        if len(failed) == n:
+            warnings.warn(
+                f"native loader: all {n} files failed "
+                f"(first: {err.value.decode(errors='replace')}); "
+                "falling back to the Python packer")
+            return None
         warnings.warn(
-            f"native loader: {failures}/{n} files failed "
-            f"({err.value.decode(errors='replace')}); "
-            "falling back to the Python packer")
-        return None
+            f"native loader: {failures}/{n} files failed, re-packing them "
+            f"through the Python path: {shown}{more} "
+            f"(first error: {err.value.decode(errors='replace')})")
 
     out = {
         "input": inp,
         "input_mask": mask.astype(bool),
         "num_input": num_input,
         "label": label,
+        "failed": failed,
     }
     if parallel:
         out["num_faces"] = num_label

@@ -24,8 +24,19 @@ Stop predicates (replicated exactly):
   - single-sequence: a running count of EOS emissions; stop when the count
     EQUALS the batch size (reference model.py:205-210 — note a finished row
     that re-emits EOS still increments the count; behavior is the spec).
-  - parallel: stop when every row's next token is a special/type token
-    (< token.length; reference model_para.py:231-233).
+  - parallel, "reference" mode: stop when every row's next token is a
+    special/type token (< token.length; reference model_para.py:231-233).
+  - parallel, "causal_cache"/"fused": per-row RETIREMENT — once a row emits
+    its terminator, its later positions stay PAD and the loop stops when
+    every row has finished once. Strictly <= the reference's stop step
+    (which needs all rows special in the SAME step, so one retired row
+    re-emitting junk prolongs the whole batch), and it makes the grid a
+    pure function of the per-row prefixes: grids are identical however
+    long the loop runs, which is what lets the multi-device shard_map
+    engine stop per shard and still match single-device output exactly.
+    Downstream parsing cuts each row at its first special token
+    (train/metrics.py), so metrics match reference semantics (batch=1
+    stops per sample there, model_para.py:231-233).
 
 Anchor quirk (replicated): eval anchors are arange(L) WITHOUT the +4 token
 offset (reference model_para.py:201), so anchor row j starts from memory row
@@ -354,24 +365,27 @@ def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
     mem_bias = mem_bias.reshape(nb, blk, 1, s_pad)
 
     def cond(state):
-        step, _, all_special = state[0], state[1], state[2]
+        step, _, done = state[0], state[1], state[2]
         if not early_stop:
             return step < t_max - 1
-        return jnp.logical_and(step < t_max - 1, jnp.logical_not(all_special))
+        return jnp.logical_and(step < t_max - 1, jnp.logical_not(jnp.all(done)))
 
     def body(state):
-        step, tokens, _, x, ckv = state
+        step, tokens, done, x, ckv = state
         qpos_t = jax.lax.dynamic_index_in_dim(query_pos, step, 0, keepdims=True)
         x, nxt, ckv = decode_step(
             step, x, qpos_t, packed, cross_k, cross_v, memory_b, mem_bias,
             ckv, num_head=cfg.num_head, num_layers=n_layers,
             interpret=interpret)
         nxt = nxt.reshape(n, f)
-        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 2)
-        return (step + jnp.int32(1), tokens, jnp.all(nxt < tok.length),
-                x, ckv)
+        # retired rows write PAD (grid canonicalization; see module docstring)
+        out_tok = jnp.where(done, tok.PAD, nxt)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, out_tok, step + 1, 2)
+        return (step + jnp.int32(1), tokens,
+                jnp.logical_or(done, nxt < tok.length), x, ckv)
 
-    state = (jnp.int32(0), tokens0, jnp.array(False), x0, cache_kv)
+    done0 = jnp.zeros((n, f), bool)
+    state = (jnp.int32(0), tokens0, done0, x0, cache_kv)
     state = jax.lax.while_loop(cond, body, state)
     return {"predict": state[1]}
 
@@ -481,8 +495,14 @@ def greedy_decode_parallel(
     sk0 = tuple(jnp.zeros(layer_cache, dtype) for _ in range(n_layers))
     sv0 = tuple(jnp.zeros(layer_cache, dtype) for _ in range(n_layers))
 
+    def cache_cond(state):
+        step, _, done = state[0], state[1], state[2]
+        if not early_stop:
+            return step < t_max - 1
+        return jnp.logical_and(step < t_max - 1, jnp.logical_not(jnp.all(done)))
+
     def body(state):
-        step, tokens, _, sk, sv = state
+        step, tokens, done, sk, sv = state
         cur = jax.lax.dynamic_index_in_dim(tokens, step, axis=2, keepdims=True)  # (N,F,1)
         x = gather_memory_rows(memory, cur)  # (N, F, 1, E)
         qpos_t = jax.lax.dynamic_index_in_dim(query_pos, step, 0, keepdims=True)
@@ -491,9 +511,12 @@ def greedy_decode_parallel(
             mem_pad_b, t_max)
         pointer_t = L.linear(params["project"], out[:, :, 0])  # (N, F, E)
         nxt = masked_argmax(memory, pointer_t, padded_mask)
-        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 2)
-        return step + jnp.int32(1), tokens, jnp.all(nxt < tok.length), sk, sv
+        # retired rows write PAD (grid canonicalization; see module docstring)
+        out_tok = jnp.where(done, tok.PAD, nxt)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, out_tok, step + 1, 2)
+        return (step + jnp.int32(1), tokens,
+                jnp.logical_or(done, nxt < tok.length), sk, sv)
 
-    state = (jnp.int32(0), tokens0, jnp.array(False), sk0, sv0)
-    step, tokens, *_ = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), tokens0, jnp.zeros((n, f), bool), sk0, sv0)
+    step, tokens, *_ = jax.lax.while_loop(cache_cond, body, state)
     return {"predict": tokens}

@@ -446,29 +446,61 @@ def _normalization_scale(faces) -> float:
     return 2.0 / float(np.linalg.norm(extent))
 
 
+def random_solid(rng: np.random.Generator, profile: str = "classic"):
+    """Sample a random solid's faces from the given family profile.
+
+    "classic" draws only the six basic families above (the round-1/2 test
+    corpus). "rich" mixes in the composite families (multi-hole plates,
+    bosses, pockets, towers, notched/concave extrusions, stepped shafts —
+    geometry/solids.py), which reach the reference's full `ours` dims
+    (216 coedges / 42 faces / 36-token face rows, configs/ours.yml:20-22).
+    """
+    from faceformer_tpu.geometry import solids
+
+    if profile == "rich":
+        kind = rng.choice(
+            ["classic", "extrusion", "plate_holes", "boss", "pocket", "shaft"],
+            p=[0.18, 0.22, 0.2, 0.2, 0.12, 0.08])
+        if kind == "extrusion":
+            return solids.gen_extrusion(rng)
+        if kind == "plate_holes":
+            return solids.gen_plate_with_holes(rng)
+        if kind == "boss":
+            return solids.gen_boss(rng)
+        if kind == "pocket":
+            return solids.gen_pocket(rng)
+        if kind == "shaft":
+            return solids.gen_stepped_shaft(rng)
+        # fall through to a classic draw
+    elif profile != "classic":
+        raise ValueError(f"unknown fixture profile {profile!r}")
+
+    kind = rng.choice(list(SOLID_BUILDERS))
+    if kind == "box":
+        return make_box(*rng.uniform(0.5, 1.5, size=3))
+    if kind == "prism":
+        return make_prism(int(rng.integers(3, 8)), rng.uniform(0.4, 1.0), rng.uniform(0.5, 1.5))
+    if kind == "lblock":
+        return make_lblock(rng.uniform(0.8, 1.4), rng.uniform(0.8, 1.4), rng.uniform(0.25, 0.55), rng.uniform(0.5, 1.2))
+    if kind == "plate_with_hole":
+        return make_plate_with_hole(
+            rng.uniform(1.2, 1.8), rng.uniform(0.9, 1.4), rng.uniform(0.3, 0.6),
+            rng.uniform(0.4, 0.7), rng.uniform(0.3, 0.5))
+    if kind == "frustum":
+        return make_frustum(rng.uniform(0.5, 0.9), rng.uniform(0.25, 0.45),
+                            rng.uniform(0.6, 1.4),
+                            split_axis=rng.uniform(0, np.pi))
+    return make_cylinder(rng.uniform(0.3, 0.8), rng.uniform(0.6, 1.6), split_axis=rng.uniform(0, np.pi))
+
+
 def random_sample(rng: np.random.Generator, coedge: bool = True,
                   no_face_type: bool = False, direction_token: bool = False,
-                  focus: float = 0.0, max_tries: int = 8) -> Dict:
+                  focus: float = 0.0, max_tries: int = 8,
+                  profile: str = "classic") -> Dict:
     """One random solid under a random camera; retries degenerate views
     (reference retries random cameras 5x, prepare_data.py:303-319)."""
     for _ in range(max_tries):
-        kind = rng.choice(list(SOLID_BUILDERS))
-        if kind == "box":
-            faces = make_box(*rng.uniform(0.5, 1.5, size=3))
-        elif kind == "prism":
-            faces = make_prism(int(rng.integers(3, 8)), rng.uniform(0.4, 1.0), rng.uniform(0.5, 1.5))
-        elif kind == "lblock":
-            faces = make_lblock(rng.uniform(0.8, 1.4), rng.uniform(0.8, 1.4), rng.uniform(0.25, 0.55), rng.uniform(0.5, 1.2))
-        elif kind == "plate_with_hole":
-            faces = make_plate_with_hole(
-                rng.uniform(1.2, 1.8), rng.uniform(0.9, 1.4), rng.uniform(0.3, 0.6),
-                rng.uniform(0.4, 0.7), rng.uniform(0.3, 0.5))
-        elif kind == "frustum":
-            faces = make_frustum(rng.uniform(0.5, 0.9), rng.uniform(0.25, 0.45),
-                                 rng.uniform(0.6, 1.4),
-                                 split_axis=rng.uniform(0, np.pi))
-        else:
-            faces = make_cylinder(rng.uniform(0.3, 0.8), rng.uniform(0.6, 1.6), split_axis=rng.uniform(0, np.pi))
+        faces = random_solid(rng, profile=profile)
         theta = float(rng.uniform(0, 360))
         phi = float(rng.uniform(22.5, 67.5))
         try:
@@ -478,3 +510,5 @@ def random_sample(rng: np.random.Generator, coedge: bool = True,
         except AssertionError:
             continue
     raise RuntimeError("could not generate a non-degenerate fixture")
+
+

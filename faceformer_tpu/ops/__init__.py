@@ -10,7 +10,16 @@ faceformer_tpu.ops.enable().
 import os
 
 _ENV = os.environ.get("FACEFORMER_PALLAS", "").strip().lower()
-_FORCED = None if _ENV in ("", "auto") else _ENV not in ("0", "false")
+_TRUTHY = ("1", "true", "yes", "on")
+_FALSY = ("0", "false", "no", "off")
+if _ENV in ("", "auto"):
+    _FORCED = None
+elif _ENV in _TRUTHY or _ENV in _FALSY:
+    _FORCED = _ENV in _TRUTHY
+else:
+    raise ValueError(
+        f"FACEFORMER_PALLAS={_ENV!r} not understood; use 1/0, true/false, "
+        "yes/no, on/off, or auto")
 
 
 def enable(on: bool = True) -> None:

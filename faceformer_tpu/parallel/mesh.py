@@ -105,6 +105,34 @@ def shard_params(params, mesh: Mesh, shard_model: bool = False):
     return jax.device_put(params, shardings)
 
 
+def shard_opt_state(opt_state, params, mesh: Mesh, shard_model: bool = False):
+    """Place a restored optimizer state on the mesh with the SAME partition
+    specs as the parameters it mirrors (Adam's mu/nu are param-shaped;
+    counts/hyperparams replicate). A bare device_put would replicate the
+    whole state, costing HBM and a per-step reshard on multi-device meshes.
+    """
+    specs = param_partition_specs(params, shard_model)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P))
+    pstruct = jax.tree.structure(params)
+    repl = replicated(mesh)
+
+    def is_param_tree_or_leaf(node):
+        if isinstance(node, (jax.Array, np.ndarray)):
+            return True
+        try:
+            return jax.tree.structure(node) == pstruct
+        except Exception:
+            return False
+
+    def place(node):
+        if not isinstance(node, (jax.Array, np.ndarray)):
+            return jax.device_put(node, shardings)  # param-shaped subtree
+        return jax.device_put(node, repl)
+
+    return jax.tree.map(place, opt_state, is_leaf=is_param_tree_or_leaf)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Move a host batch onto the mesh, batch axis over `data`. Non-array
     fields (names) stay on host."""

@@ -22,10 +22,17 @@ from faceformer_tpu.config import Config, config_from_dict, config_to_dict
 class CheckpointManager:
     """save-last + keep-top-k-by-metric checkpoint directory manager."""
 
-    def __init__(self, directory: str, top_k: int = 2, metric: str = "valid_precision"):
+    def __init__(self, directory: str, top_k: int = 2, metric: str = "valid_precision",
+                 tie_refresh_epochs: int = 8):
         self.directory = directory
         self.top_k = top_k
         self.metric = metric
+        # on an exact metric tie, refresh the newest tied checkpoint only
+        # when it is at least this many epochs stale: keeps the
+        # prefer-newer-on-ties policy (bounded staleness) without paying a
+        # full param+opt device->host pull and disk write every validation
+        # epoch once the metric saturates (e.g. precision pinned at 1.0)
+        self.tie_refresh_epochs = tie_refresh_epochs
         os.makedirs(directory, exist_ok=True)
         self._index_path = os.path.join(directory, "index.json")
         self._index: Dict[str, Any] = {"top": [], "last": None}
@@ -64,10 +71,11 @@ class CheckpointManager:
         return out
 
     @staticmethod
-    def save_tree(path: str, tree: Dict[str, Any]) -> None:
+    def save_tree(path: str, tree: Dict[str, Any], frozen: bool = False) -> None:
         import orbax.checkpoint as ocp
 
-        tree = jax.tree.map(np.asarray, CheckpointManager._freeze(tree))
+        if not frozen:
+            tree = jax.tree.map(np.asarray, CheckpointManager._freeze(tree))
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(path), tree, force=True)
 
@@ -88,6 +96,8 @@ class CheckpointManager:
         main.py:33)."""
         meta = {"epoch": epoch, "config": config_to_dict(cfg),
                 self.metric: metric_value}
+        # one device->host pull serves both the `last` and top-k writes
+        state = jax.tree.map(np.asarray, self._freeze(state))
 
         last_path = os.path.join(self.directory, "last")
         self._write(last_path, state, meta)
@@ -103,8 +113,15 @@ class CheckpointManager:
             # >= (not >): on metric ties, prefer the NEWER checkpoint — a
             # model that first touches the metric ceiling is often underfit
             # elsewhere (observed: precision 1.0 at epoch 30 with recall
-            # 0.78 vs recall 0.99 at epoch 110)
-            if len(entries) < self.top_k or metric_value >= min(e[0] for e in entries):
+            # 0.78 vs recall 0.99 at epoch 110). Exact ties refresh at most
+            # every tie_refresh_epochs (see __init__).
+            newest_tied = max((e[2] for e in entries if e[0] == metric_value),
+                              default=None)
+            tie_fresh = (newest_tied is not None
+                         and epoch - newest_tied < self.tie_refresh_epochs)
+            if (len(entries) < self.top_k
+                    or metric_value > min(e[0] for e in entries)
+                    or (metric_value >= min(e[0] for e in entries) and not tie_fresh)):
                 self._write(path, state, meta)
                 entries.append((metric_value, path, epoch))
                 entries.sort(key=lambda e: (-e[0], -e[2]))
@@ -119,7 +136,7 @@ class CheckpointManager:
 
     def _write(self, path: str, state: Dict[str, Any], meta: Dict) -> None:
         shutil.rmtree(path, ignore_errors=True)
-        self.save_tree(path, state)
+        self.save_tree(path, state, frozen=True)
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f, indent=1)
 

@@ -26,7 +26,8 @@ from faceformer_tpu.config import Config
 from faceformer_tpu.data.batching import iter_batches
 from faceformer_tpu.data.dataset import ABCDataset, ABCDatasetParallel
 from faceformer_tpu.models import MODEL_REGISTRY
-from faceformer_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from faceformer_tpu.parallel.mesh import (
+    make_mesh, shard_batch, shard_opt_state, shard_params)
 from faceformer_tpu.train.checkpoint import CheckpointManager, load_checkpoint
 from faceformer_tpu.train.logging import MetricsLogger
 from faceformer_tpu.train.loss import pointer_cross_entropy
@@ -157,12 +158,12 @@ class Harness:
         if self._decode_fn is None:
             model, cfg = self.model, self.cfg
             mode = cfg.decode.mode
-            if mode == "fused" and self.mesh.devices.size > 1:
-                # the fused Pallas step is a single-device kernel; XLA
-                # cannot partition it over a mesh — fall back to the
-                # equivalent XLA engine (same token grids)
-                print("decode.mode=fused is single-device; using "
-                      "causal_cache on the multi-device mesh")
+            if mode == "fused" and self.mesh.shape["model"] > 1:
+                # the fused kernel holds whole attention rows; it cannot
+                # split the feature dim over a tensor-parallel axis — fall
+                # back to the equivalent XLA engine (same token grids)
+                print("decode.mode=fused does not partition over a model "
+                      "axis; using causal_cache")
                 mode = "causal_cache"
 
             def decode(params, batch):
@@ -173,7 +174,26 @@ class Harness:
                     params, cfg.model, batch, precision=cfg.decode.precision,
                     mode=mode, **kwargs)["predict"]
 
-            self._decode_fn = jax.jit(decode)
+            if mode == "fused" and self.mesh.devices.size > 1:
+                # multi-device fused decode: shard_map over the data axis —
+                # each device runs the whole Pallas step on its batch shard
+                # (the kernel grid is already per-sample-block). Retired-row
+                # grids are invariant to per-shard early stop (decode.py),
+                # so outputs equal the single-device engine exactly.
+                from jax.sharding import PartitionSpec as P
+
+                mesh = self.mesh
+
+                def sharded(params, batch):
+                    in_specs = (jax.tree.map(lambda _: P(), params),
+                                jax.tree.map(lambda _: P("data"), batch))
+                    return jax.shard_map(
+                        decode, mesh=mesh, in_specs=in_specs,
+                        out_specs=P("data"), check_vma=False)(params, batch)
+
+                self._decode_fn = jax.jit(sharded)
+            else:
+                self._decode_fn = jax.jit(decode)
         return self._decode_fn
 
     # -- loops -------------------------------------------------------------------
@@ -370,8 +390,11 @@ class Harness:
         state["step"] = int(state.get("step", 0))
         # the restore yields HOST numpy arrays; without an explicit
         # device_put every jitted call re-uploads the full tree (measured
-        # 3.45 s vs 79 ms per eval batch on the tunneled TPU)
+        # 3.45 s vs 79 ms per eval batch on the tunneled TPU). The opt
+        # state shards with the params' specs, not a bare device_put, so
+        # resumed multi-device runs don't replicate it (HBM + reshard cost)
         state["params"] = shard_params(state["params"], self.mesh)
-        state["opt_state"] = jax.device_put(state["opt_state"])
+        state["opt_state"] = shard_opt_state(
+            state["opt_state"], state["params"], self.mesh)
         like.update(state)
         return like

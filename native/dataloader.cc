@@ -23,6 +23,7 @@
 // Build: make -C native (linked into libfaceformer_geometry.so).
 
 #include <atomic>
+#include <charconv>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -51,6 +52,16 @@ struct Value {
   bool is_num() const { return kind == 0; }
   bool is_arr() const { return kind == 1; }
 };
+
+// Locale-independent double parse (std::strtod honors LC_NUMERIC: under a
+// comma-decimal locale "1.5" parses as 1 and the parser then errors,
+// silently dropping the native fast path). Returns the end pointer, or
+// `begin` on failure (the strtod convention the call sites test for).
+inline const char* parse_number(const char* begin, const char* end,
+                                double* out) {
+  const auto res = std::from_chars(begin, end, *out);
+  return res.ec == std::errc() ? res.ptr : begin;
+}
 
 struct Parser {
   const char* p;
@@ -162,9 +173,8 @@ struct Parser {
       }
     }
     if (c == '-' || (c >= '0' && c <= '9')) {
-      char* q = nullptr;
       out->kind = 0;
-      out->num = std::strtod(p, &q);
+      const char* q = parse_number(p, end, &out->num);
       if (q == p) return fail("bad number");
       p = q;
       return true;
@@ -206,9 +216,9 @@ bool parse_edges_flat(Parser* ps, FlatEdges* out) {
         if (ps->p >= ps->end || *ps->p != '[')
           return ps->fail("point: expected [");
         ++ps->p;
-        char* q = nullptr;
         ps->skip_ws();
-        const double x = std::strtod(ps->p, &q);
+        double x = 0.0, y = 0.0;
+        const char* q = parse_number(ps->p, ps->end, &x);
         if (q == ps->p) return ps->fail("point: bad x");
         ps->p = q;
         ps->skip_ws();
@@ -216,14 +226,16 @@ bool parse_edges_flat(Parser* ps, FlatEdges* out) {
           return ps->fail("point: expected ,");
         ++ps->p;
         ps->skip_ws();
-        const double y = std::strtod(ps->p, &q);
+        q = parse_number(ps->p, ps->end, &y);
         if (q == ps->p) return ps->fail("point: bad y");
         ps->p = q;
         ps->skip_ws();
         // tolerate >2 coords per point (truncate like numpy [:, :2])
         while (ps->p < ps->end && *ps->p == ',') {
           ++ps->p;
-          std::strtod(ps->p, &q);
+          ps->skip_ws();
+          double extra;
+          q = parse_number(ps->p, ps->end, &extra);
           if (q == ps->p) return ps->fail("point: bad extra coord");
           ps->p = q;
           ps->skip_ws();
@@ -487,6 +499,7 @@ struct Job {
   int32_t* num_input_out;
   int32_t* label_out;
   int32_t* num_label_out;
+  uint8_t* ok_out;  // per-file success flags (may be null)
   std::atomic<int64_t> next{0};
   std::atomic<int64_t> failures{0};
   // first error (path: message), guarded by the failure counter being 0->1
@@ -506,6 +519,7 @@ void worker(Job* job) {
   while (true) {
     const int64_t i = job->next.fetch_add(1);
     if (i >= job->n_files) return;
+    if (job->ok_out) job->ok_out[i] = 0;
     const char* path = job->paths[i];
     FILE* f = std::fopen(path, "rb");
     if (!f) {
@@ -564,7 +578,11 @@ void worker(Job* job) {
                          job->label_out + i * static_cast<int64_t>(L) * T,
                          job->num_label_out + i, &err);
     }
-    if (!ok) record_error(job, path, err);
+    if (!ok) {
+      record_error(job, path, err);
+      continue;
+    }
+    if (job->ok_out) job->ok_out[i] = 1;
   }
 }
 
@@ -575,16 +593,19 @@ extern "C" {
 // Load + parse + resample + pack a list of sample JSON files, threaded.
 // mode: 0 = single-sequence (label (N, T)), 1 = parallel (label (N, L, T)).
 // Returns the number of failed files (0 = all good); the first failure's
-// "path: message" lands in err (err_cap bytes).
+// "path: message" lands in err (err_cap bytes); ok_out (length n_files, may
+// be null) gets a per-file success flag so callers can fall back for just
+// the failing samples instead of the whole corpus.
 int64_t load_pack_files(const char* const* paths, int64_t n_files,
                         int32_t n_threads, int32_t mode, int32_t L, int32_t P,
                         int32_t T, int32_t tok_len, int32_t pad, int32_t sos,
                         int32_t sep, int32_t eos, int32_t type_offset,
                         int32_t dir0, float* input_out,
                         uint8_t* input_mask_out, int32_t* num_input_out,
-                        int32_t* label_out, int32_t* num_label_out, char* err,
-                        int64_t err_cap) {
+                        int32_t* label_out, int32_t* num_label_out,
+                        uint8_t* ok_out, char* err, int64_t err_cap) {
   Job job;
+  job.ok_out = ok_out;
   job.paths = paths;
   job.n_files = n_files;
   job.mode = mode;

@@ -287,3 +287,35 @@ class TestRematPolicies:
                             jax.tree.leaves(grads[name])):
                 np.testing.assert_allclose(
                     np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-4)
+
+
+class TestRowRetirement:
+    """causal_cache/fused parallel engines retire finished rows: positions
+    after a row's first terminator stay PAD, making the grid a pure function
+    of the per-row prefixes (invariant to how long the loop runs — the
+    property the sharded decode engine relies on)."""
+
+    def test_grid_invariant_to_early_stop(self, tiny_model_cfg, parallel_batch):
+        batch, _ = parallel_batch
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(8), tiny_model_cfg)
+        es = np.asarray(greedy_decode_parallel(
+            params, tiny_model_cfg, batch, mode="causal_cache",
+            early_stop=True)["predict"])
+        full = np.asarray(greedy_decode_parallel(
+            params, tiny_model_cfg, batch, mode="causal_cache",
+            early_stop=False)["predict"])
+        np.testing.assert_array_equal(es, full)
+
+    def test_post_terminator_positions_are_pad(self, tiny_model_cfg, parallel_batch):
+        # zeroed projection head -> pointer logits all equal -> masked
+        # argmax deterministically picks memory row 0 (PAD, a special
+        # token): every row finishes at step 1 and must then stay PAD
+        batch, _ = parallel_batch
+        tok = tiny_model_cfg.token
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(9), tiny_model_cfg)
+        params = dict(params)
+        params["project"] = jax.tree.map(jnp.zeros_like, params["project"])
+        grid = np.asarray(greedy_decode_parallel(
+            params, tiny_model_cfg, batch, mode="causal_cache")["predict"])
+        assert np.all(grid[:, :, 1] == 0)  # every row emits PAD-row pointer
+        assert np.all(grid[:, :, 2:] == tok.PAD)  # ...and is retired after

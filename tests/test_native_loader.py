@@ -103,17 +103,27 @@ class TestParity:
 
 
 class TestFallback:
-    def test_malformed_json_falls_back_and_python_raises(self, tmp_path,
-                                                         flavor_samples,
-                                                         tiny_model_cfg):
-        # fallback hands the bad file to the Python preload, which raises —
-        # error behavior stays identical to the reference's json.load
+    def test_malformed_json_falls_back_per_file(self, tmp_path,
+                                                flavor_samples,
+                                                tiny_model_cfg):
+        # ONE bad file in the corpus: the other 9 still load natively (no
+        # silent 15x whole-corpus revert), the warning names the offender,
+        # and indexing the bad sample raises exactly what the reference's
+        # json.load would
         root, split = _write_dataset(tmp_path, flavor_samples)
         with open(tmp_path / "json" / "00000003.json", "w") as f:
             f.write("{ not json")
-        with pytest.warns(UserWarning, match="native loader"):
-            with pytest.raises(json.JSONDecodeError):
-                ABCDatasetParallel(root, split, tiny_model_cfg)
+        with pytest.warns(UserWarning, match="00000003.json"):
+            ds = ABCDatasetParallel(root, split, tiny_model_cfg)
+        assert ds._packed is not None, "native path must stay engaged"
+        assert ds._native_failed == {3}
+        slow = ABCDatasetParallel.from_samples(flavor_samples, tiny_model_cfg)
+        for i in (0, 1, 2, 4, 9):  # native rows match the Python packer
+            for key, val in slow[i].items():
+                if isinstance(val, np.ndarray):
+                    np.testing.assert_array_equal(ds[i][key], val, err_msg=key)
+        with pytest.raises(json.JSONDecodeError):
+            ds[3]
 
     def test_env_opt_out(self, tmp_path, flavor_samples, tiny_model_cfg,
                          monkeypatch):

@@ -81,3 +81,29 @@ class TestTensorParallel:
         # integer token grids; reduction-order ulps could in principle flip a
         # tied argmax, but random weights make exact ties vanishingly rare
         np.testing.assert_array_equal(tp, ref)
+
+
+class TestShardOptState:
+    def test_opt_state_mirrors_param_specs(self, params):
+        # restored optimizer state must land on the mesh with the SAME
+        # partition specs as the params (Adam mu/nu are param-shaped);
+        # scalars (count) replicate
+        import optax
+
+        from faceformer_tpu.parallel.mesh import shard_opt_state
+
+        mesh = make_mesh(4, model_axis=2)
+        sharded = shard_params(params, mesh, shard_model=True)
+        opt_state = optax.adam(1e-3).init(params)
+        # simulate a restore: host numpy leaves
+        host = jax.tree.map(np.asarray, opt_state)
+        placed = shard_opt_state(host, sharded, mesh, shard_model=True)
+
+        mu = placed[0].mu
+        for pleaf, mleaf in zip(jax.tree.leaves(sharded), jax.tree.leaves(mu)):
+            assert mleaf.sharding == pleaf.sharding, (
+                f"{mleaf.sharding} != {pleaf.sharding}")
+        assert placed[0].count.sharding.is_fully_replicated
+        # values survive placement
+        for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(placed)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -93,13 +93,48 @@ class TestTopKTieBreak:
         mgr = CheckpointManager(str(tmp_path), top_k=2)
         cfg = Config()
         tree = {"w": jnp.zeros((2,))}
+        # ties spaced >= tie_refresh_epochs refresh to the newer checkpoint
         mgr.save(tree, cfg, 1, metric_value=1.0)
-        mgr.save(tree, cfg, 2, metric_value=1.0)
-        mgr.save(tree, cfg, 3, metric_value=1.0)
+        mgr.save(tree, cfg, 9, metric_value=1.0)
+        mgr.save(tree, cfg, 17, metric_value=1.0)
         kept = sorted(e[1] for e in mgr._index["top"])
-        assert any("epoch=2" in p for p in kept)
-        assert any("epoch=3" in p for p in kept)
-        assert not any("epoch=1" in p for p in kept)
+        assert any("epoch=9-" in p for p in kept)
+        assert any("epoch=17-" in p for p in kept)
+        assert not any("epoch=1-" in p for p in kept)
+
+    def test_fresh_tie_skips_the_write(self, tmp_path):
+        # once the metric saturates, back-to-back tied validations must not
+        # pay a full device->host pull + disk write every time: a tie with a
+        # recent (< tie_refresh_epochs) entry leaves the top-k unchanged
+        from faceformer_tpu.config import Config
+
+        mgr = CheckpointManager(str(tmp_path), top_k=2, tie_refresh_epochs=8)
+        cfg = Config()
+        tree = {"w": jnp.zeros((2,))}
+        mgr.save(tree, cfg, 2, metric_value=1.0)
+        mgr.save(tree, cfg, 4, metric_value=1.0)  # fills top-2
+        before = sorted(e[1] for e in mgr._index["top"])
+        mgr.save(tree, cfg, 6, metric_value=1.0)  # 6-4 < 8: skipped
+        assert sorted(e[1] for e in mgr._index["top"]) == before
+        assert not any("epoch=6-" in p for p in before)
+        mgr.save(tree, cfg, 12, metric_value=1.0)  # 12-4 >= 8: refreshes
+        kept = sorted(e[1] for e in mgr._index["top"])
+        assert any("epoch=12" in p for p in kept)
+        # `last` is written regardless, so resume granularity is unaffected
+        assert mgr._index["last"].endswith("last")
+
+    def test_fresh_tie_still_loses_to_higher_metric(self, tmp_path):
+        from faceformer_tpu.config import Config
+
+        mgr = CheckpointManager(str(tmp_path), top_k=2, tie_refresh_epochs=8)
+        cfg = Config()
+        tree = {"w": jnp.zeros((2,))}
+        mgr.save(tree, cfg, 2, metric_value=0.8)
+        mgr.save(tree, cfg, 4, metric_value=1.0)
+        mgr.save(tree, cfg, 6, metric_value=1.0)  # ties 4 but beats 0.8
+        kept = sorted(e[1] for e in mgr._index["top"])
+        assert any("epoch=4" in p for p in kept)
+        assert any("epoch=6" in p for p in kept)
 
     def test_higher_metric_still_wins(self, tmp_path):
         from faceformer_tpu.config import Config

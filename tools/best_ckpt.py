@@ -1,0 +1,19 @@
+"""Print the best checkpoint path for a log dir (top-1 by valid_precision,
+falling back to `last`). Used by tools/train_demos.sh to chain train->test."""
+
+import json
+import os
+import sys
+
+
+def best_ckpt(log_dir: str) -> str:
+    index = os.path.join(log_dir, "checkpoints", "index.json")
+    with open(index) as f:
+        idx = json.load(f)
+    if idx.get("top"):
+        return max(idx["top"], key=lambda e: (e[0], e[2] if len(e) > 2 else 0))[1]
+    return idx["last"]
+
+
+if __name__ == "__main__":
+    print(best_ckpt(sys.argv[1]))
