@@ -315,7 +315,8 @@ def greedy_decode_single(
 
 
 def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
-                           tokens0, anchors, dtype, early_stop):
+                           tokens0, anchors, dtype, early_stop,
+                           retire_rows=True):
     """causal_cache semantics, one fused Pallas kernel per step."""
     from faceformer_tpu import ops
     from faceformer_tpu.ops.decode_step import (
@@ -378,11 +379,15 @@ def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
             ckv, num_head=cfg.num_head, num_layers=n_layers,
             interpret=interpret)
         nxt = nxt.reshape(n, f)
-        # retired rows write PAD (grid canonicalization; see module docstring)
-        out_tok = jnp.where(done, tok.PAD, nxt)
+        fin = nxt < tok.length
+        if retire_rows:
+            # retired rows write PAD (grid canonicalization; module docstring)
+            out_tok = jnp.where(done, tok.PAD, nxt)
+            new_done = jnp.logical_or(done, fin)
+        else:  # legacy whole-batch stop (ablation; reference semantics)
+            out_tok, new_done = nxt, fin
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, out_tok, step + 1, 2)
-        return (step + jnp.int32(1), tokens,
-                jnp.logical_or(done, nxt < tok.length), x, ckv)
+        return step + jnp.int32(1), tokens, new_done, x, ckv
 
     done0 = jnp.zeros((n, f), bool)
     state = (jnp.int32(0), tokens0, done0, x0, cache_kv)
@@ -403,8 +408,14 @@ def greedy_decode_parallel(
     mode: str = "reference",
     early_stop: bool = True,
     anchor_mode: str = "reference",
+    retire_rows: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Anchor-parallel greedy decode (reference: model_para.py:181-241).
+
+    retire_rows=False restores the legacy whole-batch stop (every step's
+    tokens written raw; stop only when ALL rows emit a terminator in the
+    same step) — kept as a measured ablation against the retirement scheme
+    (tools/bench_serving.py); production paths keep it True.
 
     Returns predict (N, F, T) with F = num_lines (static; see parallel.py's
     static-shape note)."""
@@ -482,7 +493,7 @@ def greedy_decode_parallel(
         if (2 * cfg.num_model) % 128 == 0 or _ops.interpret_mode():
             return _fused_decode_parallel(
                 params, cfg, batch, memory, pos, padded_mask, tokens0,
-                anchors, dtype, early_stop)
+                anchors, dtype, early_stop, retire_rows=retire_rows)
         mode = "causal_cache"
 
     # causal_cache mode
@@ -511,11 +522,15 @@ def greedy_decode_parallel(
             mem_pad_b, t_max)
         pointer_t = L.linear(params["project"], out[:, :, 0])  # (N, F, E)
         nxt = masked_argmax(memory, pointer_t, padded_mask)
-        # retired rows write PAD (grid canonicalization; see module docstring)
-        out_tok = jnp.where(done, tok.PAD, nxt)
+        fin = nxt < tok.length
+        if retire_rows:
+            # retired rows write PAD (grid canonicalization; module docstring)
+            out_tok = jnp.where(done, tok.PAD, nxt)
+            new_done = jnp.logical_or(done, fin)
+        else:  # legacy whole-batch stop (ablation)
+            out_tok, new_done = nxt, fin
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, out_tok, step + 1, 2)
-        return (step + jnp.int32(1), tokens,
-                jnp.logical_or(done, nxt < tok.length), sk, sv)
+        return step + jnp.int32(1), tokens, new_done, sk, sv
 
     state = (jnp.int32(0), tokens0, jnp.zeros((n, f), bool), sk0, sv0)
     step, tokens, *_ = jax.lax.while_loop(cache_cond, body, state)

@@ -82,3 +82,43 @@ class TestFusedDecodeOnTPU:
             early_stop=False)["predict"])
         agreement = (ref == fused).mean()
         assert agreement >= 0.95, f"token agreement {agreement:.4f}"
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled-kernel check needs a real TPU")
+class TestFusedDecodeTrainedWeights:
+    def test_trained_ckpt_grid_equality(self):
+        """VERDICT r2 #5: on TRAINED weights the logit margins are large, so
+        argmax ties (the only source of compiled-vs-XLA divergence, see
+        test_compiled_matches_xla_bf16) vanish: demand exact token-grid
+        equality between the compiled fused kernel and the XLA causal_cache
+        engine on real test samples at flagship dims."""
+        import glob as _glob
+        import os as _os
+
+        from faceformer_tpu.config import load_config
+        from faceformer_tpu.data.batching import iter_batches
+        from faceformer_tpu.train.trainer import Harness
+
+        log_dir = "logs/SurfaceFormer/big-s0"
+        if not _os.path.isdir(_os.path.join(log_dir, "checkpoints")):
+            pytest.skip("no trained flagship checkpoint on this machine")
+        cfg = load_config("configs/synthetic-big.yml")
+        if not _os.path.isdir(cfg.root_dir):
+            pytest.skip("flagship corpus not present")
+        import sys
+        sys.path.insert(0, _os.getcwd())
+        from tools.best_ckpt import best_ckpt
+
+        harness = Harness(cfg)
+        params = harness.load(best_ckpt(log_dir))["params"]
+        ds = harness.dataset("test")
+        batch = next(iter(iter_batches(ds, 16, pad_to_full=True)))
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
+        arrays = jax.device_put(arrays)
+        grids = {}
+        for mode in ("causal_cache", "fused"):
+            grids[mode] = np.asarray(greedy_decode_parallel(
+                params, cfg.model, arrays, precision=cfg.decode.precision,
+                mode=mode)["predict"])
+        np.testing.assert_array_equal(grids["fused"], grids["causal_cache"])
