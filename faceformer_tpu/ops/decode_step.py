@@ -393,12 +393,12 @@ def decode_step(
                          lambda n, *_: (n, 0, 0, 0, 0)),               # cross_v
             pl.BlockSpec((1, b, s, e), lambda n, *_: (n, 0, 0, 0)),    # memory
             pl.BlockSpec((1, b, 1, s), lambda n, *_: (n, 0, 0, 0)),    # mem_bias
-            pl.BlockSpec(memory_space=pltpu.ANY),                      # cache_kv
+            pl.BlockSpec(memory_space=pl.ANY),                      # cache_kv
         ],
         out_specs=(
             pl.BlockSpec((1, f, e), lambda n, *_: (n, 0, 0)),          # x_out
             pl.BlockSpec((1, b, f // b), lambda n, *_: (n, 0, 0)),     # tokens
-            pl.BlockSpec(memory_space=pltpu.ANY),                      # cache_kv
+            pl.BlockSpec(memory_space=pl.ANY),                      # cache_kv
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 1, f, 2 * e), dtype),

@@ -4,15 +4,21 @@ trick; the reference has no analogue — it has no test suite at all)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# FACEFORMER_TEST_TPU=1 keeps the real backend so the TPU-gated tests
+# (compiled-kernel equivalence, trained-checkpoint grid equality) can run:
+#   FACEFORMER_TEST_TPU=1 python -m pytest tests/ -q -k "TPU or Trained"
+if os.environ.get("FACEFORMER_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-# the axon sitecustomize pins JAX_PLATFORMS=axon; the config route wins
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("FACEFORMER_TEST_TPU") != "1":
+    # the axon sitecustomize pins JAX_PLATFORMS=axon; the config route wins
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
