@@ -216,3 +216,53 @@ class TestFrustum:
         sample = build_sample(make_frustum(), theta=40.0, phi=35.0)
         types = sorted(t for t, _ in sample["faces_indices"])
         assert types == [0, 0, 2, 2]  # 2 planes + 2 Other (cone) sides
+
+
+class TestCompositeSolids:
+    """geometry/solids.py composition invariant: every undirected edge
+    appears exactly TWICE across all face loops, once per direction (what
+    OCC wire exploration produces and what pairings/enclosedness rely on).
+    With coedge interning, that means every edge has exactly one reversed
+    twin: len(pairings) == len(edges) / 2."""
+
+    @pytest.mark.parametrize("gen", ["extrusion", "plate_holes", "boss",
+                                     "pocket", "shaft"])
+    def test_edge_pairing_invariant(self, gen):
+        import numpy as np
+
+        from faceformer_tpu.geometry import solids
+        from faceformer_tpu.geometry.fixtures import build_sample
+
+        fns = {
+            "extrusion": solids.gen_extrusion,
+            "plate_holes": solids.gen_plate_with_holes,
+            "boss": solids.gen_boss,
+            "pocket": solids.gen_pocket,
+            "shaft": solids.gen_stepped_shaft,
+        }
+        rng = np.random.default_rng(hash(gen) % 2 ** 32)
+        built = 0
+        for trial in range(12):
+            faces = fns[gen](rng)
+            try:
+                sample = build_sample(
+                    faces, theta=float(rng.uniform(0, 360)),
+                    phi=float(rng.uniform(25, 65)), coedge=True)
+            except AssertionError:
+                continue  # degenerate projection; generator retries too
+            built += 1
+            n_edges = len(sample["edges"])
+            assert n_edges % 2 == 0
+            assert len(sample["pairings"]) == n_edges // 2, gen
+            # every face loop chains (checked by build_sample), and each
+            # coedge index is used exactly once across all face loops
+            used = [i for _, loops in _typed_loops(sample["faces_indices"])
+                    for loop in loops for i in loop]
+            assert sorted(used) == list(range(n_edges)), gen
+        assert built >= 6, f"{gen}: too many degenerate draws"
+
+
+def _typed_loops(faces_indices):
+    for face in faces_indices:
+        ftype, loops = face
+        yield ftype, loops

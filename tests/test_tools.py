@@ -140,3 +140,32 @@ class TestPredictCLI:
         for faces in preds:
             for ftype, indices in faces:
                 assert isinstance(indices, tuple)
+
+
+class TestSampleStats:
+    def test_face_lengths_typed_coedge(self):
+        # regression: [type, loops] faces were measured as len(face)==2,
+        # silently disabling the max_face_len acceptance filter
+        from faceformer_tpu.tools.synthetic_data import sample_stats
+
+        sample = {"edges": [[[0, 0], [1, 1]]] * 6,
+                  "faces_indices": [[0, [[0, 1, 2], [3, 4]]], [1, [[5]]]]}
+        st = sample_stats(sample, direction_token=False)
+        assert st["max_face_len"] == 5
+        assert st["label_len"] == (5 + 1) + (1 + 1) + 1
+
+    def test_face_lengths_combined_flat(self):
+        from faceformer_tpu.tools.synthetic_data import sample_stats
+
+        sample = {"edges": [[[0, 0], [1, 1]]] * 4,
+                  "faces_indices": [[0, 1, 2, 3], [1, 2]]}
+        st = sample_stats(sample, direction_token=False)
+        assert st["max_face_len"] == 4
+
+    def test_face_lengths_direction_token(self):
+        from faceformer_tpu.tools.synthetic_data import sample_stats
+
+        sample = {"edges": [[[0, 0], [1, 1]]] * 3,
+                  "faces_indices": [[[(0, 0), (1, 1)], [(2, 0)]]]}
+        st = sample_stats(sample, direction_token=True)
+        assert st["max_face_len"] == 6
