@@ -102,8 +102,8 @@ def main(argv=None):
             raw[f"{name}/{order}"].append(time.perf_counter() - t0)
 
     result = {
-        "timestamp_utc": datetime.datetime.utcnow().isoformat(
-            timespec="seconds") + "Z",
+        "timestamp_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"),
         "git_rev": subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
             text=True).stdout.strip(),

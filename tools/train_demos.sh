@@ -14,6 +14,7 @@ run_stage() {
     flagship) config=configs/synthetic-big.yml;         version="big-s${seed}";;
     flat)     config=configs/synthetic-seq2seq-big.yml; version="seq2seq-big-s${seed}";;
     dirtok)   config=configs/synthetic-dirtok-big.yml;  version="dirtok-big-s${seed}";;
+    coedge)   config=configs/synthetic-coedge-big.yml;  version="coedge-big-s${seed}";;
     *) echo "unknown stage $1" >&2; exit 2;;
   esac
   python main.py --config-file "$config" \
