@@ -86,7 +86,9 @@ def main(argv=None):
     results = {}
     gb_per_chunk = (n_layers * nb * CHUNK * blk * f * 2 * e
                     * cache.dtype.itemsize / 1e9)
-    for st in (1, 8, 16, 24, 32, cfg.max_face_length - 1):
+    t_last = cfg.max_face_length - 1
+    steps = sorted({1, *(s for s in (8, 16, 24, 32) if s < t_last), t_last})
+    for st in steps:
         stv = jnp.int32(st)
         x, _, ck = step_fn(stv, x0, cache)  # compile + warmup
         jax.block_until_ready(x)
