@@ -80,12 +80,21 @@ def main(argv=None):
         results[name] = round(_time_fn(fn, (params, batch, rng), args.iters) * 1e3, 1)
         print(f"{name:>32}: {results[name]} ms")
 
+    def _probe(tree):
+        # fold every grad leaf into the returned scalar: without this XLA
+        # dead-code-eliminates the whole backward (first run of this tool
+        # measured fwd_bwd == fwd_only and remat_off "fitting" at batch 32)
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), tree,
+            jnp.float32(0.0)) * 1e-20
+
     variants = {
         "fwd_only": lambda loss: jax.jit(
             lambda c, p, b, r: loss(jax.tree.map(lambda x: x + c, p), b, r)),
         "fwd_bwd": lambda loss: jax.jit(
-            lambda c, p, b, r: jax.value_and_grad(loss)(
-                jax.tree.map(lambda x: x + c, p), b, r)[0]),
+            lambda c, p, b, r: (
+                lambda vg: vg[0] + _probe(vg[1]))(jax.value_and_grad(loss)(
+                    jax.tree.map(lambda x: x + c, p), b, r))),
     }
 
     for mname, mcfg in (
@@ -110,8 +119,9 @@ def main(argv=None):
         return jnp.sum(memory.astype(jnp.float32) ** 2) * 1e-6
 
     add("encoder_only/fwd_bwd", jax.jit(
-        lambda c, p, b, r: jax.value_and_grad(enc_loss)(
-            jax.tree.map(lambda x: x + c, p), b, r)[0]))
+        lambda c, p, b, r: (
+            lambda vg: vg[0] + _probe(vg[1]))(jax.value_and_grad(enc_loss)(
+                jax.tree.map(lambda x: x + c, p), b, r))))
 
     if results.get("remat_full/drop0.2/fwd_bwd") and isinstance(
             results["remat_full/drop0.2/fwd_bwd"], float):
