@@ -27,14 +27,17 @@ Stop predicates (replicated exactly):
   - parallel, "reference" mode: stop when every row's next token is a
     special/type token (< token.length; reference model_para.py:231-233).
   - parallel, "causal_cache"/"fused": per-row RETIREMENT — once a row emits
-    its terminator, its later positions stay PAD and the loop stops when
-    every row has finished once. Strictly <= the reference's stop step
-    (which needs all rows special in the SAME step, so one retired row
-    re-emitting junk prolongs the whole batch), and it makes the grid a
-    pure function of the per-row prefixes: grids are identical however
-    long the loop runs, which is what lets the multi-device shard_map
-    engine stop per shard and still match single-device output exactly.
-    Downstream parsing cuts each row at its first special token
+    a face-TYPE token (the terminator parsing cuts at, reference
+    trainer.py:184,197), its later positions stay PAD and the loop stops
+    when every row has finished once. PAD does NOT retire a row: the
+    reference keeps PAD-emitting rows decoding (its stop is whole-batch,
+    model_para.py:231-233) and they can still produce a type token later;
+    a row that only ever emits PAD runs to the token budget (its parsed
+    faces are identical either way). Retirement makes the grid a pure
+    function of the per-row prefixes: grids are identical however long
+    the loop runs, which is what lets the multi-device shard_map engine
+    stop per shard and still match single-device output exactly.
+    Downstream parsing cuts each row at its first face-type token
     (train/metrics.py), so metrics match reference semantics (batch=1
     stops per sample there, model_para.py:231-233).
 
@@ -379,13 +382,20 @@ def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
             ckv, num_head=cfg.num_head, num_layers=n_layers,
             interpret=interpret)
         nxt = nxt.reshape(n, f)
-        fin = nxt < tok.length
         if retire_rows:
+            # a row is finished by a face-TYPE token only — the terminator
+            # parsing cuts at (reference trainer.py:184,197). PAD must NOT
+            # retire a row: the reference keeps PAD-emitting rows decoding
+            # (its stop is whole-batch, model_para.py:231-233), and they can
+            # still emit a type token later.
+            fin = jnp.logical_and(nxt >= tok.face_type_offset,
+                                  nxt < tok.length)
             # retired rows write PAD (grid canonicalization; module docstring)
             out_tok = jnp.where(done, tok.PAD, nxt)
             new_done = jnp.logical_or(done, fin)
-        else:  # legacy whole-batch stop (ablation; reference semantics)
-            out_tok, new_done = nxt, fin
+        else:  # legacy whole-batch stop (ablation; reference semantics:
+            # stop when every row emits ANY special token in the same step)
+            out_tok, new_done = nxt, nxt < tok.length
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, out_tok, step + 1, 2)
         return step + jnp.int32(1), tokens, new_done, x, ckv
 
@@ -444,12 +454,6 @@ def greedy_decode_parallel(
     mem_b = memory[:, None]  # (N, 1, S, E)
     pos_b = pos[:, None]
     mem_pad_b = padded_mask[:, None]  # (N, 1, S)
-
-    def cond(state):
-        step, _, all_special = state[0], state[1], state[2]
-        if not early_stop:
-            return step < t_max - 1
-        return jnp.logical_and(step < t_max - 1, jnp.logical_not(all_special))
 
     if mode == "reference":
         # prefix buckets: see greedy_decode_single — exact outputs, early
@@ -522,13 +526,16 @@ def greedy_decode_parallel(
             mem_pad_b, t_max)
         pointer_t = L.linear(params["project"], out[:, :, 0])  # (N, F, E)
         nxt = masked_argmax(memory, pointer_t, padded_mask)
-        fin = nxt < tok.length
         if retire_rows:
+            # finish on face-TYPE tokens only, never PAD (see the fused
+            # engine's body above for the reference-semantics argument)
+            fin = jnp.logical_and(nxt >= tok.face_type_offset,
+                                  nxt < tok.length)
             # retired rows write PAD (grid canonicalization; module docstring)
             out_tok = jnp.where(done, tok.PAD, nxt)
             new_done = jnp.logical_or(done, fin)
         else:  # legacy whole-batch stop (ablation)
-            out_tok, new_done = nxt, fin
+            out_tok, new_done = nxt, nxt < tok.length
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, out_tok, step + 1, 2)
         return step + jnp.int32(1), tokens, new_done, sk, sv
 

@@ -304,8 +304,31 @@ def _child_column(rng: np.random.Generator, center: np.ndarray, radius: float,
 # ---------------------------------------------------------------------------
 
 
-def _host_polygon(rng: np.random.Generator, scale: float) -> Tuple[np.ndarray, float]:
-    """A host footprint and its inradius (for child placement)."""
+def origin_clearance(poly: np.ndarray) -> float:
+    """Distance from the origin to the polygon boundary; 0.0 if the origin
+    lies outside the polygon. This is the TRUE radius of the child-placement
+    disc `_place_children` assumes (children live within `inradius` of the
+    origin), so any inradius a host generator claims must not exceed it."""
+    n = len(poly)
+    inside = False
+    j = n - 1
+    for i in range(n):
+        (xi, yi), (xj, yj) = poly[i], poly[j]
+        if (yi > 0.0) != (yj > 0.0) and 0.0 < (xj - xi) * (0.0 - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    if not inside:
+        return 0.0
+    d = np.inf
+    for i in range(n):
+        a, b = poly[i], poly[(i + 1) % n]
+        ab = b - a
+        t = float(np.clip(-(a @ ab) / (ab @ ab), 0.0, 1.0))
+        d = min(d, float(np.linalg.norm(a + t * ab)))
+    return d
+
+
+def _draw_host(rng: np.random.Generator, scale: float) -> Tuple[np.ndarray, float]:
     kind = rng.choice(["rect", "ngon", "convex", "notched"], p=[0.3, 0.25, 0.2, 0.25])
     if kind == "rect":
         w, h = rng.uniform(1.2, 1.9, size=2) * scale
@@ -317,11 +340,31 @@ def _host_polygon(rng: np.random.Generator, scale: float) -> Tuple[np.ndarray, f
     if kind == "notched":
         w, h = rng.uniform(1.4, 1.9, size=2) * scale
         poly = poly_notched_rect(rng, w, h, int(rng.integers(1, 5)))
-        # notch depth <= 0.18*min leaves a clear central disc
         return poly, 0.3 * min(w, h)
     n = int(rng.integers(5, 9))
     r = float(rng.uniform(0.85, 1.1)) * scale
-    return poly_convex(rng, n, r), 0.6 * r  # conservative inradius
+    return poly_convex(rng, n, r), 0.6 * r
+
+
+def _host_polygon(rng: np.random.Generator, scale: float) -> Tuple[np.ndarray, float]:
+    """A host footprint and its inradius (for child placement).
+
+    The claimed per-kind inradius formulas are NOT all conservative (a
+    first-draw poly_convex angle set can pass the min-gap check while a
+    >pi gap puts the origin outside the polygon entirely — measured 27% of
+    draws claiming more clearance than exists, letting ~2.7% of
+    child-bearing samples place a hole/boss crossing the host boundary),
+    so the claim is clamped to the measured `origin_clearance` and thin
+    hosts are redrawn."""
+    poly = claimed = None
+    for _ in range(16):
+        poly, claimed = _draw_host(rng, scale)
+        clear = origin_clearance(poly)
+        if clear >= 0.25 * scale:
+            return poly, min(claimed, clear)
+    # rect hosts always have honest clearance; guaranteed fallback
+    w, h = rng.uniform(1.4, 1.9, size=2) * scale
+    return poly_rect(w, h), min(w, h) / 2
 
 
 def gen_extrusion(rng: np.random.Generator, max_notches: int = 7) -> List[Face]:

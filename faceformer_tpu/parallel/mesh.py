@@ -126,8 +126,15 @@ def shard_opt_state(opt_state, params, mesh: Mesh, shard_model: bool = False):
             return False
 
     def place(node):
-        if not isinstance(node, (jax.Array, np.ndarray)):
-            return jax.device_put(node, shardings)  # param-shaped subtree
+        if isinstance(node, (jax.Array, np.ndarray)):
+            return jax.device_put(node, repl)
+        try:
+            if jax.tree.structure(node) == pstruct:
+                return jax.device_put(node, shardings)  # param-shaped subtree
+        except Exception:
+            pass
+        # scalar / non-param leaf (e.g. a Python hyperparameter): replicate
+        # rather than crash against the param-spec tree
         return jax.device_put(node, repl)
 
     return jax.tree.map(place, opt_state, is_leaf=is_param_tree_or_leaf)

@@ -30,8 +30,10 @@ class CheckpointManager:
         # on an exact metric tie, refresh the newest tied checkpoint only
         # when it is at least this many epochs stale: keeps the
         # prefer-newer-on-ties policy (bounded staleness) without paying a
-        # full param+opt device->host pull and disk write every validation
-        # epoch once the metric saturates (e.g. precision pinned at 1.0)
+        # duplicate top-k DISK write every validation epoch once the metric
+        # saturates (e.g. precision pinned at 1.0). Note the device->host
+        # pull itself still happens every save() call — it serves the
+        # unconditional 'last' write
         self.tie_refresh_epochs = tie_refresh_epochs
         os.makedirs(directory, exist_ok=True)
         self._index_path = os.path.join(directory, "index.json")

@@ -307,15 +307,44 @@ class TestRowRetirement:
         np.testing.assert_array_equal(es, full)
 
     def test_post_terminator_positions_are_pad(self, tiny_model_cfg, parallel_batch):
-        # zeroed projection head -> pointer logits all equal -> masked
-        # argmax deterministically picks memory row 0 (PAD, a special
-        # token): every row finishes at step 1 and must then stay PAD
+        # Engineer every row to emit a face-TYPE token at step 1: zero the
+        # projection weight and set its bias to the sample's own memory
+        # row 1 (a type token), so pointer logits are memory @ memory_row1,
+        # which argmaxes to row 1 (asserted as a precondition). Rows must
+        # then be retired: every later position stays PAD.
+        from faceformer_tpu.models.common import encode
+
         batch, _ = parallel_batch
+        batch = {k: v[:1] for k, v in batch.items()}  # single sample
+        tok = tiny_model_cfg.token
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(9), tiny_model_cfg)
+        memory, _, _ = encode(params, tiny_model_cfg, batch["input"],
+                              batch["input_mask"], None, jnp.float32)
+        c = np.asarray(memory)[0, 1]
+        assert int(np.argmax(np.asarray(memory)[0] @ c)) == 1  # precondition
+        params = dict(params)
+        params["project"] = {"w": jnp.zeros_like(params["project"]["w"]),
+                             "b": jnp.asarray(c)}
+        grid = np.asarray(greedy_decode_parallel(
+            params, tiny_model_cfg, batch, mode="causal_cache")["predict"])
+        assert np.all(grid[:, :, 1] == 1)  # every row emits the type token
+        assert np.all(grid[:, :, 2:] == tok.PAD)  # ...and is retired after
+
+    def test_pad_does_not_retire_rows(self, tiny_model_cfg, parallel_batch):
+        # PAD is not a terminator (reference parse cuts at face-type tokens
+        # only, trainer.py:184,197): a head whose argmax is the PAD row must
+        # keep its rows alive for the whole token budget, and with no type
+        # token ever emitted the grid is all PAD after the anchors — in
+        # both the retirement and reference engines.
+        batch, _ = parallel_batch
+        batch = {k: v[:1] for k, v in batch.items()}
         tok = tiny_model_cfg.token
         params = SurfaceFormerParallel.init(jax.random.PRNGKey(9), tiny_model_cfg)
         params = dict(params)
+        # all-equal logits: masked argmax ties to memory row 0 == PAD
         params["project"] = jax.tree.map(jnp.zeros_like, params["project"])
-        grid = np.asarray(greedy_decode_parallel(
-            params, tiny_model_cfg, batch, mode="causal_cache")["predict"])
-        assert np.all(grid[:, :, 1] == 0)  # every row emits PAD-row pointer
-        assert np.all(grid[:, :, 2:] == tok.PAD)  # ...and is retired after
+        grids = {m: np.asarray(greedy_decode_parallel(
+            params, tiny_model_cfg, batch, mode=m)["predict"])
+            for m in ("causal_cache", "reference")}
+        for grid in grids.values():
+            assert np.all(grid[:, :, 1:] == tok.PAD)

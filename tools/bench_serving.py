@@ -75,7 +75,11 @@ def main(argv=None):
         return out
 
     order_batches = {order: batches_in(order) for order in ("corpus", "sorted")}
-    n_solids = args.num_batches * args.batch
+    # count REAL solids in the selected batches: a split smaller than
+    # batch*num_batches yields fewer (possibly padded) batches, and assuming
+    # the full product would overstate throughput
+    n_solids = int(sum(np.asarray(b["sample_valid"]).sum()
+                       for b in order_batches["corpus"]))
 
     variants = {
         "fused": dict(mode="fused", retire_rows=True),
