@@ -55,22 +55,40 @@ def padding_mask_bias(key_padding_mask) -> jnp.ndarray:
     return jnp.where(key_padding_mask, NEG, 0.0).astype(jnp.float32)
 
 
-def _block_geometry(n: int, sq: int, sk: int):
+# scoped-VMEM budget for one grid step's blocks (the hardware limit is
+# 16 MB; the estimate below is calibrated against it, see _vmem_estimate)
+VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def _vmem_estimate(g: int, sq_block: int, sk_pad: int, e: int) -> int:
+    """Approximate worst-case (backward-pass) scoped-VMEM bytes for one
+    grid step: q/dq + k,v/dk,dv blocks + score/weight scratch, counted at
+    f32 width. Calibrated on v5e: predicts ~18.9M for the (g=2, 512, 512,
+    512) geometry that measurably overflows the 16M scoped limit (21.8M)
+    and ~14.4M for the long-standing compiling encoder geometry
+    (g=4, 224, 224, 512)."""
+    return 4 * (3 * g * sq_block * e + 4 * g * sk_pad * e
+                + 2 * g * sq_block * sk_pad)
+
+
+def _block_geometry(n: int, sq: int, sk: int, e: int):
     """(G rows per grid step, sq_block, padded sq, padded sk)."""
     sq_pad = _round_up(sq, SUBLANE)
+    sk_pad = _round_up(sk, SUBLANE)
     # largest multiple of 8 <= SQ_BLOCK that divides sq_pad, so no query
-    # padding beyond the sublane round-up is ever needed
+    # padding beyond the sublane round-up is ever needed; shrink further if
+    # even a single-row grid step would overflow scoped VMEM (long seqs)
     sq_block = SUBLANE
     for b in range(min(SQ_BLOCK, sq_pad), 0, -SUBLANE):
-        if sq_pad % b == 0:
+        if sq_pad % b == 0 and _vmem_estimate(1, b, sk_pad, e) <= VMEM_BUDGET:
             sq_block = b
             break
     g = 1
     for cand in (16, 8, 4, 2):
-        if cand * sq_block <= 1024 and n % cand == 0:
+        if (cand * sq_block <= 1024 and n % cand == 0
+                and _vmem_estimate(cand, sq_block, sk_pad, e) <= VMEM_BUDGET):
             g = cand
             break
-    sk_pad = _round_up(sk, SUBLANE)
     return g, sq_block, sq_pad, sk_pad
 
 
@@ -174,7 +192,7 @@ def _prepare(q, k, v, bias):
     of S pads, and only when S % 8 != 0."""
     n, sq, h, hd = q.shape
     sk = k.shape[1]
-    g, sq_block, sq_pad, sk_pad = _block_geometry(n, sq, sk)
+    g, sq_block, sq_pad, sk_pad = _block_geometry(n, sq, sk, h * hd)
 
     def pack(x, s_pad):
         x = x.reshape(n, x.shape[1], h * hd)
