@@ -232,6 +232,11 @@ def greedy_decode_single(
 
     early_stop=False decodes the full token budget regardless of EOS —
     used for worst-case throughput benchmarking."""
+    if mode != "reference" and not cfg.normalize_before:
+        # the incremental KV-cache engine implements the pre-LN block
+        # structure only; post-LN configs decode through the reference
+        # engine (decoder_forward honors normalize_before)
+        mode = "reference"
     dtype = compute_dtype(precision)
     tok = cfg.token
     memory, pos, padded_mask = encode(
@@ -317,7 +322,7 @@ def greedy_decode_single(
 # ---------------------------------------------------------------------------
 
 
-def _fused_decode_parallel(params, cfg, batch, memory, pos, padded_mask,
+def _fused_decode_parallel(params, cfg, memory, pos, padded_mask,
                            tokens0, anchors, dtype, early_stop,
                            retire_rows=True):
     """causal_cache semantics, one fused Pallas kernel per step."""
@@ -429,6 +434,14 @@ def greedy_decode_parallel(
 
     Returns predict (N, F, T) with F = num_lines (static; see parallel.py's
     static-shape note)."""
+    if mode != "reference" and not cfg.normalize_before:
+        # incremental engines implement pre-LN only; see greedy_decode_single
+        mode = "reference"
+    if mode == "fused" and cfg.activation != "relu":
+        # the fused kernel's FFN hard-codes ReLU (ops/decode_step.py); any
+        # other activation routes to the equivalent XLA engine, which
+        # honors cfg.activation
+        mode = "causal_cache"
     dtype = compute_dtype(precision)
     tok = cfg.token
     memory, pos, padded_mask = encode(
@@ -496,7 +509,7 @@ def greedy_decode_parallel(
         # Anything smaller falls back to the equivalent XLA engine.
         if (2 * cfg.num_model) % 128 == 0 or _ops.interpret_mode():
             return _fused_decode_parallel(
-                params, cfg, batch, memory, pos, padded_mask, tokens0,
+                params, cfg, memory, pos, padded_mask, tokens0,
                 anchors, dtype, early_stop, retire_rows=retire_rows)
         mode = "causal_cache"
 

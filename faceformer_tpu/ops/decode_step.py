@@ -27,7 +27,9 @@ Key performance rules learned on v5e (measured, not guessed):
 
 Numerics mirror models/layers.py: LayerNorm and softmax in fp32, q scaled
 by head_dim**-0.5 after projection, mask fill with the dtype minimum,
-pointer logits accumulated in fp32.
+pointer logits accumulated in fp32. CONTRACT: the FFN hard-codes ReLU and
+the block structure is pre-LN — decode.py routes any other
+cfg.activation / normalize_before=False config to the XLA engines.
 """
 
 from __future__ import annotations
@@ -46,11 +48,9 @@ Params = Dict[str, Any]
 # self-attn KV-cache chunk length (positions per DMA)
 CHUNK = 8
 
-BIG_NEG = float(np.finfo(np.float32).min)
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+# shared kernel utilities live in ops/flash.py (single source of truth for
+# the mask fill value and sublane rounding); re-exported here for callers
+from faceformer_tpu.ops.flash import NEG as BIG_NEG, _round_up  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -158,6 +158,13 @@ class Harness:
         if self._decode_fn is None:
             model, cfg = self.model, self.cfg
             mode = cfg.decode.mode
+            if mode == "fused" and not getattr(model, "is_parallel", False):
+                # the flat model has no fused engine (greedy_decode_single
+                # treats "fused" as causal_cache), and its count-based EOS
+                # stop is batch-composition-dependent — per-shard stops
+                # under shard_map could truncate rows differently than a
+                # single-device run. Route to the XLA engine outright.
+                mode = "causal_cache"
             if mode == "fused" and self.mesh.shape["model"] > 1:
                 # the fused kernel holds whole attention rows; it cannot
                 # split the feature dim over a tensor-parallel axis — fall
@@ -360,10 +367,13 @@ class Harness:
                 with open(os.path.join(json_dir, f"{name}.json"), "w") as f:
                     json.dump(record, f, cls=NumpyJSONEncoder)
 
+        def _mean(key):  # empty test split -> 0.0, not a KeyError
+            return float(np.mean(agg[key])) if agg.get(key) else 0.0
+
         results = {
-            "test_precision": float(np.mean(agg["precision"])),
-            "test_recall": float(np.mean(agg["recall"])),
-            "test_type_acc": float(np.mean(agg["type_acc"])),
+            "test_precision": _mean("precision"),
+            "test_recall": _mean("recall"),
+            "test_type_acc": _mean("type_acc"),
             "avg_time_per_sample": total_time / max(sample_count, 1),
             "num_samples": sample_count,
         }
