@@ -50,7 +50,15 @@ def iter_batches(
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         rng.shuffle(order)
     if process_count > 1:
-        order = order[process_index::process_count]
+        # equal stripe length on every host: stride-sliced stripes can
+        # differ by one sample, and under drop_last the per-host BATCH
+        # counts then diverge (e.g. 7 samples / 2 hosts / batch 4 -> host 0
+        # yields a batch, host 1 yields none) — one host blocks forever in
+        # the jitted step's cross-host collective while the other has left
+        # the epoch. Truncating to the global minimum keeps every host in
+        # lockstep; the dropped tail re-enters via the next epoch's shuffle.
+        per_host = len(order) // process_count
+        order = order[process_index::process_count][:per_host]
     for start in range(0, len(order), batch_size):
         idx: List[int] = order[start : start + batch_size].tolist()
         if len(idx) < batch_size:

@@ -44,6 +44,8 @@ def is_face_enclosed(
     for ind in face_indices:
         if isinstance(ind, tuple):
             i, reverse = ind
+            if i >= len(edges):  # same hallucination tolerance as plain ids
+                continue
             edge = edges[i][::-1] if reverse else edges[i]
         else:
             if ind >= len(edges):

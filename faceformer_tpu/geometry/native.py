@@ -137,13 +137,29 @@ def filter_faces_by_encloseness_batch(edges: Sequence, faces, tol: float):
         return filter_faces_by_encloseness(edges, faces, tol)
 
     points, offsets = flatten_edges(edges)
-    index_lists = [list(map(int, face)) for _, face in faces]
+    n_edges = len(edges)
+
+    def norm(i):
+        # Python-indexing parity: in-range negatives wrap (edges[-1] is the
+        # last edge in the Python predicate); out-of-range ids stay as-is
+        # so the C kernel skips them exactly like the Python path
+        i = int(i)
+        return i % n_edges if -n_edges <= i < 0 else i
+
+    index_lists = [[norm(i) for i in face] for _, face in faces]
     outcomes = check_faces_enclosed_native(points, offsets, index_lists, tol)
     filtered = []
-    for (face_type, face), loop_lens in zip(faces, outcomes):
-        if loop_lens is None:
+    for norm_face, (face_type, face), loop_lens in zip(
+            index_lists, faces, outcomes):
+        # zero loops == not enclosed (the Python predicate returns a falsy
+        # [] when every index was skipped, dropping the face)
+        if loop_lens is None or not loop_lens:
             continue
-        valid = [i for i in face if 0 <= int(i) < len(edges)]
+        # the normalized ids are C-side only; output loops carry the
+        # ORIGINAL ids exactly like the Python predicate (which keeps
+        # in-range negatives verbatim and skips ids >= n_edges)
+        valid = [int(orig) for orig, j in zip(face, norm_face)
+                 if 0 <= j < n_edges]
         loops, pos = [], 0
         for end in loop_lens:
             loops.append(valid[pos:end])

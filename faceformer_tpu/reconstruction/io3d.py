@@ -30,6 +30,8 @@ def read_ply_points(path: str) -> np.ndarray:
         n = 0
         while True:
             line = f.readline()
+            if not line:  # EOF: truncated header (e.g. interrupted writer)
+                raise ValueError(f"{path}: PLY header has no end_header")
             if line.startswith("element vertex"):
                 n = int(line.split()[-1])
             if line.strip() == "end_header":

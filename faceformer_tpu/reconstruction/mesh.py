@@ -126,12 +126,15 @@ def merge_holes(outer: np.ndarray, holes) -> np.ndarray:
     # process holes right-to-left (classic ordering for bridge insertion)
     holes = sorted((np.asarray(h, dtype=float) for h in holes),
                    key=lambda h: -float(h[:, 0].max()))
-    for hole in holes:
+    for hi, hole in enumerate(holes):
         if polygon_area(hole) > 0:
             hole = hole[::-1]  # holes run clockwise
         m = int(np.argmax(hole[:, 0]))
         mp = hole[m]
-        obstacles = [hole] + [outer]
+        # the bridge must not cross the not-yet-merged holes either — a
+        # bridge through another hole makes the spliced ring self-intersect
+        # and ear_clip leaves triangles straddling that hole's boundary
+        obstacles = [hole, outer] + list(holes[hi + 1:])
         best, best_d = None, np.inf
         for i, op in enumerate(outer):
             d = float(np.hypot(*(op - mp)))

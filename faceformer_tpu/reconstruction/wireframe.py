@@ -206,18 +206,45 @@ def _vertex_constraints(faces, edges, num_vars_faces):
     for ind in used:
         all_vertices += [tuple(p[:2]) for p in edges[ind]]
 
+    # greedy first-seen dedup, exactly as a full pairwise scan would do it,
+    # but backed by a spatial hash (cell = VERTEX_TOL): any vertex within
+    # VERTEX_TOL of a point lies in the 3x3 cell neighborhood, so the
+    # nearest-candidate search over those cells reproduces the full argmin
+    # (ties break to the smallest index, matching np.argmin). The previous
+    # O(V^2)-with-revstack version dominated solve wall-clock on cluttered
+    # predictions.
     unique: List[tuple] = []
-    arr = np.zeros((0, 2))
+    cells: Dict[Tuple[int, int], List[int]] = {}
+
+    def nearest(p):
+        cx = int(np.floor(p[0] / VERTEX_TOL))
+        cy = int(np.floor(p[1] / VERTEX_TOL))
+        best_i, best_d = -1, np.inf
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for i in cells.get((cx + dx, cy + dy), ()):
+                    q = unique[i]
+                    d = ((q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2) ** 0.5
+                    if d < best_d or (d == best_d and i < best_i):
+                        best_i, best_d = i, d
+        return best_i, best_d
+
+    def add(p):
+        i = len(unique)
+        unique.append(p)
+        key = (int(np.floor(p[0] / VERTEX_TOL)), int(np.floor(p[1] / VERTEX_TOL)))
+        cells.setdefault(key, []).append(i)
+
     for v in all_vertices:
-        if len(unique) == 0 or np.min(np.linalg.norm(arr - np.asarray(v), axis=1)) >= VERTEX_TOL:
-            unique.append(v)
-            arr = np.vstack([arr, np.asarray(v)[None]])
+        _, d = nearest(v)
+        if d >= VERTEX_TOL:
+            add(v)
 
     groups: List[set] = [set() for _ in unique]
     for face_ind, (_, face) in enumerate(faces):
         for edge_ind in _flatten_face(face):
             for p in edges[edge_ind]:
-                vi = int(np.argmin(np.linalg.norm(arr - np.asarray(p[:2]), axis=1)))
+                vi = nearest((float(p[0]), float(p[1])))[0]
                 groups[vi].add(face_ind)
 
     P_rows, b_rows, C_rows = [], [], []

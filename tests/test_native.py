@@ -64,3 +64,20 @@ class TestEnclosedness:
         nat = native.filter_faces_by_encloseness_batch(edges, typed, 2e-4)
         ref = filter_faces_by_encloseness(edges, typed, 2e-4)
         assert nat == ref
+
+    def test_filter_batch_degenerate_faces_match_python(self):
+        # regression: the C path used to KEEP all-hallucinated faces as
+        # (type, ()) where Python drops them, and SKIPPED in-range negative
+        # indices where Python wraps them (edges[-1])
+        edges = [[[0, 0], [1, 0]], [[1, 0], [1, 1]],
+                 [[1, 1], [0, 1]], [[0, 1], [0, 0]]]
+        cases = [
+            [(0, (99,))],             # every index hallucinated -> dropped
+            [(0, (-1, -2))],          # negatives wrap like Python indexing
+            [(0, (0, 1, 2, 3))],      # plain enclosed square
+            [(1, (3, 99, 2, 1, 0))],  # hallucinated id skipped mid-face
+        ]
+        for faces in cases:
+            ref = filter_faces_by_encloseness(edges, faces, 1e-6)
+            nat = native.filter_faces_by_encloseness_batch(edges, faces, 1e-6)
+            assert nat == ref, (faces, nat, ref)

@@ -132,3 +132,32 @@ class TestBatching:
         for a in range(4):
             for b in range(a + 1, 4):
                 assert not (seen[a] & seen[b])
+
+    def test_uneven_stripes_yield_equal_batch_counts(self):
+        # regression: stride-sliced stripes can differ by one sample; with
+        # drop_last the per-host BATCH counts then diverged (7 samples / 2
+        # hosts / batch 4: host 0 got a batch, host 1 none), deadlocking
+        # the cross-host collective in the jitted train step. Stripes are
+        # now truncated to the global minimum.
+        import numpy as np
+
+        from faceformer_tpu.data.batching import iter_batches
+
+        class FakeDS:
+            def __init__(self, n):
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return {"id": np.asarray(i)}
+
+        for n, hosts, bs in ((7, 2, 4), (9, 2, 2), (21, 4, 4), (5, 3, 2)):
+            counts = []
+            for rank in range(hosts):
+                batches = list(iter_batches(
+                    FakeDS(n), bs, shuffle=True, seed=1, drop_last=True,
+                    process_index=rank, process_count=hosts))
+                counts.append(len(batches))
+            assert len(set(counts)) == 1, (n, hosts, bs, counts)

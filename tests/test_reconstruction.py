@@ -109,6 +109,28 @@ class TestMesh:
         area = sum(abs(polygon_area(lshape[list(t)])) for t in tris)
         assert area == pytest.approx(3.0)
 
+    def test_merge_holes_bridge_avoids_other_holes(self):
+        # regression: a hole's bridge used to be visibility-tested against
+        # only itself and the outer ring, so it could cut straight through
+        # another hole and produce a self-intersecting spliced polygon;
+        # the total triangulated area then misses the hole-area contract
+        from faceformer_tpu.reconstruction.mesh import merge_holes
+
+        outer = np.array([[-1.0, -0.2], [1, -0.2], [1, 0.2], [-1, 0.2]])
+
+        def ring(cx, cy, r, n=8):
+            t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+            return np.stack([cx + r * np.cos(t), cy + r * np.sin(t)], axis=1)
+
+        hole_a = ring(-0.4, 0.0, 0.1)
+        hole_b = ring(-0.75, 0.13, 0.05)
+        merged = merge_holes(outer, [hole_a, hole_b])
+        tris = ear_clip(merged)
+        area = sum(abs(polygon_area(merged[list(t)])) for t in tris)
+        expect = (abs(polygon_area(outer)) - abs(polygon_area(hole_a))
+                  - abs(polygon_area(hole_b)))
+        assert area == pytest.approx(expect, rel=0.02)
+
     def test_box_mesh(self):
         record = prediction_record(make_box())
         mesh = reconstruct_mesh(record)
