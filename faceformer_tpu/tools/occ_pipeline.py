@@ -411,6 +411,11 @@ class TopoMapper:
                 if key in (key1, key2) or key in sewn_keys:
                     continue
                 for endpoint in (erec.dedge[0], erec.dedge[-1]):
+                    # SQUARED distance against the LINEAR tol — that is the
+                    # reference's own comparison (TopoMapper.py:170,179:
+                    # dist = sum((a-b)**2) tested < self.tol), i.e. an
+                    # effective radius of sqrt(tol); replicated bug-for-bug
+                    # so emitted topology matches the reference's
                     if float(np.sum((vertex - np.asarray(endpoint)) ** 2)) < self.tol:
                         blocked = True
                         break

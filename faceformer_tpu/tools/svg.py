@@ -49,9 +49,15 @@ def render_svg(
     stroke = line_width * span
     for i, edge in enumerate(edges):
         pts = " ".join(f"{p[0]:.6g},{p[1]:.6g}" for p in edge)
+        # no vector-effect: the reference marks non-scaling-stroke
+        # (json_to_svg.py:36) but its user-unit width only renders because
+        # cairosvg ignores the effect; spec-compliant renderers (browsers,
+        # Inkscape) would draw ~0.05 px hairlines. Our width is
+        # span-compensated, so plain scaling strokes render correctly
+        # everywhere at the same visual weight as the reference's PNGs.
         parts.append(
             f'<polyline points="{pts}" fill="none" stroke="{_color(i, len(edges))}" '
-            f'stroke-width="{stroke:.6g}" vector-effect="non-scaling-stroke"/>')
+            f'stroke-width="{stroke:.6g}"/>')
         if mark_starts:
             parts.append(
                 f'<circle cx="{edge[0][0]:.6g}" cy="{edge[0][1]:.6g}" '

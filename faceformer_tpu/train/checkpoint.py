@@ -137,8 +137,15 @@ class CheckpointManager:
         return self._index["last"]
 
     def _write(self, path: str, state: Dict[str, Any], meta: Dict) -> None:
+        # write-then-rename: the save itself takes seconds at flagship dims
+        # (device->host pull + orbax write), and deleting the old tree first
+        # would leave NO usable checkpoint if the process dies mid-save —
+        # early in training that makes the run unresumable
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.save_tree(tmp, state, frozen=True)
         shutil.rmtree(path, ignore_errors=True)
-        self.save_tree(path, state, frozen=True)
+        os.replace(tmp, path)
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f, indent=1)
 

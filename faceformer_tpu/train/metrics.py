@@ -22,12 +22,27 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from faceformer_tpu.config import PostProcessConfig, TokenConfig
-from faceformer_tpu.post_processing import (
-    filter_faces_by_encloseness,
-    map_coedge_into_edges,
-)
+from faceformer_tpu.post_processing import map_coedge_into_edges
 
 Face = Tuple[int, tuple]
+
+
+def _coedge_seq_accuracy(predict_faces, label_faces) -> Tuple[float, float]:
+    """Exact loop-decomposition matches + type agreement among them
+    (reference: trainer.py:232-252). Shared by the direction-token and
+    coedge eval branches."""
+    face_tp = type_tp = 0
+    label_set = set(label_faces)
+    for pred_type, pred_face in predict_faces:
+        for label_type, label_face in label_set:
+            if pred_face == label_face:
+                face_tp += 1
+                if pred_type == label_type:
+                    type_tp += 1
+                break
+    accuracy = face_tp / len(predict_faces) if predict_faces else 0
+    type_acc = type_tp / face_tp if predict_faces and face_tp else 0
+    return accuracy, type_acc
 
 
 def parse_faces(
@@ -156,18 +171,8 @@ class FaceMetrics:
             label_faces = filter_faces_by_encloseness_batch(
                 edges, label_faces, tol)
 
-            face_tp = type_tp = 0
-            label_set = set(label_faces)
-            for pred_type, pred_face in predict_faces:
-                for label_type, label_face in label_set:
-                    if pred_face == label_face:
-                        face_tp += 1
-                        if pred_type == label_type:
-                            type_tp += 1
-                        break
-            out["accuracy"] = face_tp / len(predict_faces) if predict_faces else 0
-            out["type_acc_coedge_seq"] = (
-                type_tp / face_tp if predict_faces and face_tp else 0)
+            out["accuracy"], out["type_acc_coedge_seq"] = _coedge_seq_accuracy(
+                predict_faces, label_faces)
 
             def strip_orientation(faces):
                 return [
@@ -182,27 +187,18 @@ class FaceMetrics:
                 filter_faces_by_encloseness_batch,
             )
 
-            pairings = raw_data["pairings"]
+            # default {}: label-free predict (tools/predict.py) runs on raw
+            # wireframe JSONs that carry no pairings; mapping then keeps
+            # coedge indices as-is. Dataset JSONs always include pairings.
+            pairings = raw_data.get("pairings", {})
             tol = self.post_process.enclosedness_tol
             # one C call per sample when the native kernel is built;
             # byte-identical to the Python predicate (parity-tested)
             predict_faces = filter_faces_by_encloseness_batch(edges, predict_faces, tol)
             label_faces = filter_faces_by_encloseness_batch(edges, label_faces, tol)
 
-            # coedge-sequence accuracy: exact loop-decomposition matches
-            # (reference: trainer.py:232-252)
-            face_tp = type_tp = 0
-            label_set = set(label_faces)
-            for pred_type, pred_face in predict_faces:
-                for label_type, label_face in label_set:
-                    if pred_face == label_face:
-                        face_tp += 1
-                        if pred_type == label_type:
-                            type_tp += 1
-                        break
-            out["accuracy"] = face_tp / len(predict_faces) if predict_faces else 0
-            out["type_acc_coedge_seq"] = (
-                type_tp / face_tp if predict_faces and face_tp else 0)
+            out["accuracy"], out["type_acc_coedge_seq"] = _coedge_seq_accuracy(
+                predict_faces, label_faces)
 
             def to_edges(faces):
                 return [
