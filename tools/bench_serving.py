@@ -137,8 +137,16 @@ def main(argv=None):
     for k in ("fused_vs_xla", "retirement_vs_legacy", "sorted_vs_corpus"):
         print(f"{k}: {result[k]}x")
     if args.out:
+        # append-mode artifact: each measurement window is one entry, so
+        # cross-window comparisons (device phase swings) stay auditable
+        runs = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prev = json.load(f)
+            runs = prev if isinstance(prev, list) else [prev]
+        runs.append(result)
         with open(args.out, "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump(runs, f, indent=1)
 
 
 if __name__ == "__main__":
