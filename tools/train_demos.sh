@@ -26,6 +26,10 @@ run_stage() {
 
 for stage in "$@"; do
   echo "=== stage ${stage} start $(date -u +%H:%M:%S)"
-  run_stage "${stage}"
-  echo "=== stage ${stage} done $(date -u +%H:%M:%S)"
+  # a transient device/tunnel failure in one stage must not kill the queue
+  if run_stage "${stage}"; then
+    echo "=== stage ${stage} done $(date -u +%H:%M:%S)"
+  else
+    echo "=== stage ${stage} FAILED $(date -u +%H:%M:%S)"
+  fi
 done
