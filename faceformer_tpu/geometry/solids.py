@@ -308,7 +308,12 @@ def origin_clearance(poly: np.ndarray) -> float:
     """Distance from the origin to the polygon boundary; 0.0 if the origin
     lies outside the polygon. This is the TRUE radius of the child-placement
     disc `_place_children` assumes (children live within `inradius` of the
-    origin), so any inradius a host generator claims must not exceed it."""
+    origin), so any inradius a host generator claims must not exceed it.
+
+    The even-odd crossing test duplicates reconstruction/mesh.py's
+    point_in_polygon on purpose: geometry/ sits below reconstruction/ in
+    the dependency order, and corpus generation must not grow an import on
+    the reconstruction stack."""
     n = len(poly)
     inside = False
     j = n - 1

@@ -86,6 +86,34 @@ class TestPrefetch:
         assert ("put", 1) in events
 
 
+class TestAtomicWrite:
+    def test_crash_mid_save_keeps_previous_last(self, tmp_path, monkeypatch):
+        # regression: _write used to rmtree the old 'last' BEFORE the slow
+        # save; a crash in that window destroyed the only checkpoint
+        from faceformer_tpu.config import Config
+
+        mgr = CheckpointManager(str(tmp_path), top_k=1)
+        cfg = Config()
+        mgr.save({"w": jnp.zeros((2,))}, cfg, 1)
+        last = str(tmp_path / "last")
+        assert CheckpointManager.restore_tree(last) is not None
+
+        real = CheckpointManager.save_tree
+
+        def boom(path, tree, frozen=False):
+            real(path, tree, frozen)  # tmp dir fully written...
+            raise RuntimeError("simulated preemption before rename")
+
+        monkeypatch.setattr(CheckpointManager, "save_tree", staticmethod(boom))
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            mgr.save({"w": jnp.ones((2,))}, cfg, 2)
+        # the previous 'last' must still restore
+        tree = CheckpointManager.restore_tree(last)
+        assert float(jnp.asarray(tree["w"]).sum()) == 0.0
+
+
 class TestTopKTieBreak:
     def test_newest_kept_on_tie(self, tmp_path):
         from faceformer_tpu.config import Config
