@@ -44,13 +44,19 @@ def main() -> None:
     params = jax.device_put(params)
     batch = jax.device_put(batch)
 
+    import jax.numpy as jnp
+
     # early_stop off: random weights would stop after one step; the honest
     # figure is full-length face decoding (worst case, every row decodes the
-    # whole token budget)
+    # whole token budget). The timed jit reduces the (N, F, T) grid to one
+    # scalar INSIDE the computation: np.asarray on the scalar still forces
+    # a full device sync (it depends on every grid entry), but avoids
+    # timing the ~1 MB grid transfer through the tunnel (~40 ms at the
+    # tunnel's 20-40 MB/s — a pure measurement artifact, not decode work).
     decode = jax.jit(
-        lambda p, b: greedy_decode_parallel(
+        lambda p, b: jnp.sum(greedy_decode_parallel(
             p, model_cfg, b, precision="bf16", mode=mode,
-            early_stop=False)["predict"])
+            early_stop=False)["predict"]))
 
     # warmup + compile; np.asarray forces a real device->host sync (the
     # tunneled axon platform's block_until_ready can return early)
