@@ -236,8 +236,11 @@ def _normalize_reference_keys(overlay: Dict[str, Any]) -> None:
     trainer = overlay.get("trainer")
     if isinstance(trainer, dict):
         if "num_gpus" in trainer:
+            # reference YAMLs list device ids (num_gpus: [0]); a scalar is
+            # taken as a device COUNT rather than silently collapsing to 1
             ids = trainer.pop("num_gpus")
-            trainer["num_devices"] = len(ids) if isinstance(ids, (list, tuple)) else 1
+            trainer["num_devices"] = (
+                len(ids) if isinstance(ids, (list, tuple)) else int(ids))
         if isinstance(trainer.get("precision"), int):
             trainer["precision"] = "bf16" if trainer["precision"] == 16 else "fp32"
 
@@ -264,6 +267,16 @@ def load_config(config_file: str = "", opts: List[str] | None = None) -> Config:
         for key, val in zip(opts[0::2], opts[1::2]):
             _set_nested(tree, key, _parse_opt_value(val))
         cfg = _merge_dataclass(cfg, tree)
+    if cfg.post_process.direction_token and (
+            max(cfg.model.token.DIR0, cfg.model.token.DIR1)
+            >= cfg.model.token.length):
+        # with the default 4-row table, DIR0/DIR1 (4/5) would alias the
+        # first two edges' pointer tokens (0+length, 1+length) — labels
+        # would silently train/eval on ambiguous token streams
+        raise ValueError(
+            "post_process.direction_token requires a 6-row token table "
+            "(model.token: {DIR0: 4, DIR1: 5, length: 6} — see "
+            "configs/synthetic-dirtok-big.yml)")
     return cfg
 
 

@@ -38,7 +38,9 @@ def parse_splits_list(root_dir: str, splits: Union[str, Sequence[str]]) -> List[
             info_files.append(split)
         elif ext == ".txt":
             with open(os.path.join(root_dir, split), "r") as f:
-                info_files += [line.rstrip() for line in f]
+                # skip blank lines: an empty entry would later open() the
+                # data root itself and die with a misleading IsADirectoryError
+                info_files += [line.rstrip() for line in f if line.strip()]
         else:
             raise NotImplementedError(f"{split} is not a valid info_file type")
     return info_files

@@ -45,6 +45,10 @@ def canonicalize_closed_edge(points: Sequence) -> List:
     clockwise by y (reference discretize_edge.py:33-49)."""
     ring = list(points[1:])  # drop the repeated start
     arr = np.asarray(ring)
+    # x-only argmin: ties between equal-x points resolve by input rotation,
+    # exactly as the reference does (discretize_edge.py:40-41,
+    # np.roll(edge_array, -np.argmin(edge_array[:, 0]))) — bug-for-bug so
+    # canonical forms match reference-generated data
     rolled = np.roll(arr, -int(np.argmin(arr[:, 0])), axis=0).tolist()
     if rolled[1][1] > rolled[-1][1]:
         rolled.append(rolled[0])

@@ -75,7 +75,9 @@ def arc_between_points(pts: np.ndarray, p1, p2, p3) -> np.ndarray:
     v1 = pts[(i1 + 1) % (len(pts) - 1)] - pts[i1]
     if float(np.dot(v1, toward_mid)) > 0:
         return pts[i1 : i2 + 1]
-    return np.vstack([pts[i2:], pts[: i1 + 1]])
+    # wraparound: drop the closed polyline's seam point (pts[-1] ~= pts[0])
+    # so the returned arc doesn't contain a near-zero-length segment
+    return np.vstack([pts[i2:-1], pts[: i1 + 1]])
 
 
 def fit_arc_through_points(p1, p2, p3, deflection: float = 1e-5) -> np.ndarray:

@@ -9,6 +9,7 @@ files are written too when a writer is importable.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Dict, Optional
@@ -30,7 +31,11 @@ class MetricsLogger:
     def log_scalars(self, step: int, scalars: Dict[str, float], prefix: str = "") -> None:
         record = {"step": step, "time": time.time()}
         for key, val in scalars.items():
-            record[prefix + key] = float(val)
+            val = float(val)
+            # json.dumps would emit bare NaN/Infinity — not valid JSON, and
+            # one NaN-loss step (which the trainer logs even as it skips the
+            # update) would break every strict JSONL consumer of this file
+            record[prefix + key] = val if math.isfinite(val) else None
         self._file.write(json.dumps(record) + "\n")
         self._file.flush()
         if self._tb is not None:

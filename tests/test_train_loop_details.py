@@ -35,7 +35,7 @@ class TestPadTargetTime:
         qp = padded_query_pos(jnp.ones((5, 4)), 5, t_pad, jnp.float32)
         assert qp.shape == (8, 4) and np.all(np.asarray(qp[5:]) == 0)
 
-    def test_forward_train_loss_unchanged_by_alignment(self, rng):
+    def test_forward_train_loss_unchanged_by_alignment(self):
         """A max_face_length whose T-1 is already 8-aligned vs one that pads
         must give identical losses for identical real content (the padded
         tail is key-masked behind every real position)."""
@@ -47,7 +47,13 @@ class TestPadTargetTime:
             num_model=32, num_head=4, num_feedforward=48,
             num_encoder_layers=1, num_decoder_layers=1, dropout=0.0)
         wide = dataclasses.replace(base, max_face_length=12)  # T-1=11 -> 16
+        # local rng, NOT the session-scoped fixture: the shared stream's
+        # position depends on which test files ran before (it once drew a
+        # 36-edge sample that overflowed num_lines=32 only under a
+        # particular file ordering); seed 0's samples are verified to fit
+        rng = np.random.default_rng(0)
         samples = [random_sample(rng) for _ in range(2)]
+        assert all(len(s["edges"]) <= base.num_lines for s in samples)
         params = SurfaceFormerParallel.init(jax.random.PRNGKey(0), base)
         # the wide config needs 11 query positions; extend the table with
         # zero rows so real positions share identical learned values
