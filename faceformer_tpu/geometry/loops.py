@@ -136,11 +136,10 @@ def assemble_cycles(edges, edge_inds, tol: float = 1e-4):
             if current not in remaining:
                 broken = True
                 break
-            entry = None
-            for entry in remaining[current]:
-                if entry[2] not in cycle_inds:
-                    break
-            edge, direction, ind = entry
+            # remaining[current] aliases graph.junctions[current], so this
+            # is exactly the graph's first-unused walk (same all-used
+            # fallback to the junction's last entry)
+            edge, direction, ind = graph.unused_edge_at(current, cycle_inds)
             cycle.append(edge[::direction])
             cycle_inds.append(ind)
             dirs.append(direction)
