@@ -100,45 +100,15 @@ def make_cylinder(radius: float = 0.6, height: float = 1.2, n_arc: int = 17,
     topology: 2 half-cylinder side faces (type 1, each bounded by 2 straight
     outlines + 2 arcs) and 2 planar caps (each bounded by 2 arcs). This is the
     structure the wireframe reconstructor expects
-    (reconstruction/reconstruct_to_wireframe.py:44-143)."""
-    z0, z1 = -height / 2, height / 2
-    phi = split_axis
+    (reconstruction/reconstruct_to_wireframe.py:44-143).
 
-    def arc(z: float, start: float, reverse: bool = False) -> np.ndarray:
-        t = np.linspace(start, start + np.pi, n_arc)
-        pts = np.stack([radius * np.cos(t), radius * np.sin(t), np.full(n_arc, z)], axis=1)
-        return pts[::-1] if reverse else pts
+    The split-cylinder construction itself lives in ``solids.column_circle``
+    (the composite-corpus generator shares the same canonical topology)."""
+    from faceformer_tpu.geometry import solids
 
-    # outline endpoints at angles phi and phi+pi
-    p_a0 = np.array([radius * np.cos(phi), radius * np.sin(phi), z0])
-    p_a1 = np.array([radius * np.cos(phi), radius * np.sin(phi), z1])
-    p_b0 = np.array([radius * np.cos(phi + np.pi), radius * np.sin(phi + np.pi), z0])
-    p_b1 = np.array([radius * np.cos(phi + np.pi), radius * np.sin(phi + np.pi), z1])
-
-    line_a_up = np.stack([p_a0, p_a1])      # outline at phi, upward
-    line_b_down = np.stack([p_b1, p_b0])    # outline at phi+pi, downward
-
-    arc_top_1 = arc(z1, phi)                # phi -> phi+pi on top cap
-    arc_top_2 = arc(z1, phi + np.pi)        # phi+pi -> phi on top cap
-    arc_bot_1 = arc(z0, phi)
-    arc_bot_2 = arc(z0, phi + np.pi)
-
-    # half-cylinder side 1: up outline a, top arc 1, down outline b, bottom arc 2 reversed
-    side1 = [line_a_up, arc_top_1, line_b_down, arc_bot_1[::-1]]
-    # half-cylinder side 2: up outline b, top arc 2, down outline a, bottom arc 1 reversed
-    side2 = [line_b_down[::-1], arc_top_2, line_a_up[::-1], arc_bot_2[::-1]]
-    # caps traverse each arc opposite to the side faces' copies so every
-    # undirected edge appears exactly twice, once per direction (coherent
-    # coedge orientation, as OCC wire exploration produces)
-    cap_top = [arc_top_2[::-1], arc_top_1[::-1]]
-    cap_bot = [arc_bot_1, arc_bot_2]
-
-    return [
-        (CYLINDER, [side1]),
-        (CYLINDER, [side2]),
-        (PLANE, [cap_top]),
-        (PLANE, [cap_bot]),
-    ]
+    col = solids.column_circle(0.0, 0.0, radius, -height / 2, height / 2,
+                               n_arc=n_arc, phi=split_axis)
+    return col.walls + [(PLANE, [col.top_loop]), (PLANE, [col.bot_loop])]
 
 
 def _polygon_loop(vertices: np.ndarray, ring: Sequence[int]) -> List[np.ndarray]:
@@ -188,37 +158,14 @@ def make_frustum(r_bottom: float = 0.8, r_top: float = 0.45, height: float = 1.0
                  n_arc: int = 17, split_axis: float = 0.0):
     """Conical frustum split by two slanted outlines, mirroring the cylinder
     topology but with CONE side surfaces — genuine Other-type faces after the
-    dataset's type clamp (cone = GeomAbs type 2, data_para.py:75-80)."""
-    z0, z1 = -height / 2, height / 2
-    phi = split_axis
+    dataset's type clamp (cone = GeomAbs type 2, data_para.py:75-80).
+    Delegates to ``solids.column_circle``, which emits Other-type walls
+    whenever ``r_top != r_bot``."""
+    from faceformer_tpu.geometry import solids
 
-    def arc(radius, z, start, reverse=False):
-        t = np.linspace(start, start + np.pi, n_arc)
-        pts = np.stack([radius * np.cos(t), radius * np.sin(t),
-                        np.full(n_arc, z)], axis=1)
-        return pts[::-1] if reverse else pts
-
-    def rim(radius, z, angle):
-        return np.array([radius * np.cos(angle), radius * np.sin(angle), z])
-
-    p_a0, p_a1 = rim(r_bottom, z0, phi), rim(r_top, z1, phi)
-    p_b0, p_b1 = rim(r_bottom, z0, phi + np.pi), rim(r_top, z1, phi + np.pi)
-    line_a_up = np.stack([p_a0, p_a1])
-    line_b_down = np.stack([p_b1, p_b0])
-
-    arc_top_1, arc_top_2 = arc(r_top, z1, phi), arc(r_top, z1, phi + np.pi)
-    arc_bot_1, arc_bot_2 = arc(r_bottom, z0, phi), arc(r_bottom, z0, phi + np.pi)
-
-    side1 = [line_a_up, arc_top_1, line_b_down, arc_bot_1[::-1]]
-    side2 = [line_b_down[::-1], arc_top_2, line_a_up[::-1], arc_bot_2[::-1]]
-    cap_top = [arc_top_2[::-1], arc_top_1[::-1]]
-    cap_bot = [arc_bot_1, arc_bot_2]
-    return [
-        (OTHER, [side1]),   # cone surfaces clamp to Other
-        (OTHER, [side2]),
-        (PLANE, [cap_top]),
-        (PLANE, [cap_bot]),
-    ]
+    col = solids.column_circle(0.0, 0.0, r_bottom, -height / 2, height / 2,
+                               r_top=r_top, n_arc=n_arc, phi=split_axis)
+    return col.walls + [(PLANE, [col.top_loop]), (PLANE, [col.bot_loop])]
 
 
 SOLID_BUILDERS = {
