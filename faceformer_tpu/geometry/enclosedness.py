@@ -62,3 +62,57 @@ def is_face_enclosed(
             current = []
             loop_start_edge = None
     return loops if loop_start_edge is None else False
+
+
+def is_face_enclosed_undirected(
+    edges: Sequence[Sequence[Sequence[float]]],
+    face_indices: Sequence[int],
+    tol: float,
+):
+    """Enclosedness check for UNDIRECTED edge-token faces (combined flavor).
+
+    The combined-coedge data flavor (reference prepare_data.py
+    --combine_coedge) stores each face as a *sorted set* of undirected edge
+    tokens — no chain order, no orientation — so the reference only asserts
+    enclosedness *before* coedges are merged (prepare_data.py:155-158) and
+    its checker CLI cannot re-validate the merged corpora from disk. The
+    order-free invariant: the face's edge multiset decomposes into closed
+    loops, which holds iff no endpoint vertex has odd degree (endpoints
+    clustered within per-axis ``tol``). Out-of-range indices are skipped
+    like :func:`is_face_enclosed`. Returns the decomposition as connected
+    components (index lists) or False.
+    """
+    idx = [i for i in face_indices if i < len(edges)]
+    reps: List[Tuple[float, float]] = []  # vertex-cluster representatives
+
+    def vert(p) -> int:
+        for vi, q in enumerate(reps):
+            if abs(p[0] - q[0]) < tol and abs(p[1] - q[1]) < tol:
+                return vi
+        reps.append((p[0], p[1]))
+        return len(reps) - 1
+
+    degree: dict = {}
+    endpoints: List[Tuple[int, int, int]] = []
+    for i in idx:
+        a, b = vert(edges[i][0]), vert(edges[i][-1])
+        degree[a] = degree.get(a, 0) + 1
+        degree[b] = degree.get(b, 0) + 1
+        endpoints.append((i, a, b))
+    if any(d % 2 for d in degree.values()):
+        return False
+
+    parent = list(range(len(reps)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, a, b in endpoints:
+        parent[find(a)] = find(b)
+    components: dict = {}
+    for i, a, _ in endpoints:
+        components.setdefault(find(a), []).append(i)
+    return list(components.values())

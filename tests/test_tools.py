@@ -63,6 +63,61 @@ class TestIntegrityCheck:
         assert not check_sample(str(bad_path), 3e-4)
 
 
+class TestIntegrityCheckFlavors:
+    """Every dataset flavor must validate from disk (the reference checker
+    only supports directed coedges; combined/dirtok corpora crash it or
+    report every sample bad)."""
+
+    FLAVOR_KW = {
+        "combined": dict(coedge=False),
+        "direction_token": dict(coedge=False, direction_token=True),
+        "coedge_untyped": dict(no_face_type=True),
+    }
+
+    @pytest.fixture(scope="class", params=sorted(FLAVOR_KW))
+    def flavored_root(self, tmp_path_factory, request):
+        root = str(tmp_path_factory.mktemp(request.param))
+        generate(root, num=8, seed=13, profile="rich",
+                 **self.FLAVOR_KW[request.param])
+        return root
+
+    def test_clean_corpus_passes(self, flavored_root):
+        assert check_dataset(flavored_root, tol=3e-4) == []
+
+    def test_corrupt_sample_fails(self, flavored_root, tmp_path):
+        json_dir = os.path.join(flavored_root, "json")
+        # pick a sample with a multi-edge face, break it by dropping one
+        # OPEN edge token (a closed-curve edge has equal endpoints and its
+        # removal keeps all vertex degrees even, which the set-based
+        # combined check rightly accepts)
+        for name in sorted(os.listdir(json_dir)):
+            with open(os.path.join(json_dir, name)) as f:
+                data = json.load(f)
+            edges = data["edges"]
+
+            def is_open(tok):
+                i = tok[0] if isinstance(tok, list) else tok
+                e = edges[i]
+                return abs(e[0][0] - e[-1][0]) > 1e-3 or abs(e[0][1] - e[-1][1]) > 1e-3
+
+            for entry in data["faces_indices"]:
+                if entry and isinstance(entry[0], int):       # combined: flat list
+                    face = entry
+                else:                                          # loops (pairs or ints)
+                    face = max(entry, key=len)
+                open_positions = [k for k, tok in enumerate(face) if is_open(tok)]
+                if len(face) >= 4 and open_positions:
+                    del face[open_positions[0]]
+                    os.makedirs(tmp_path / "json", exist_ok=True)
+                    bad = tmp_path / "json" / name
+                    with open(bad, "w") as f:
+                        json.dump(data, f)
+                    flavor = json.load(open(os.path.join(flavored_root, "meta.json")))["flavor"]
+                    assert not check_sample(str(bad), 3e-4, flavor=flavor)
+                    return
+        pytest.fail("no sample with a >=4-edge face in the fixture corpus")
+
+
 class TestFilters:
     def test_sequence_length(self):
         assert sequence_length([[0, 1, 2], [3, 4]]) == 1 + 4 + 3
