@@ -85,19 +85,31 @@ def _corpus_flavor(root: str) -> str:
     return "auto"
 
 
+def _check_one(args: Tuple[str, float, str]) -> bool:
+    return check_sample(*args)
+
+
 def check_dataset(root: str, tol: float = 3e-4, remove: bool = False,
                   names: Optional[Sequence[str]] = None,
-                  flavor: str = "auto") -> List[str]:
+                  flavor: str = "auto", num_cores: int = 1,
+                  chunksize: int = 10) -> List[str]:
     """Returns the names that FAILED the check."""
     if flavor == "auto":
         flavor = _corpus_flavor(root)
     json_dir = os.path.join(root, "json")
     if names is None:
         names = [os.path.splitext(n)[0] for n in sorted(os.listdir(json_dir))]
+    paths = [os.path.join(json_dir, f"{name}.json") for name in names]
+    if num_cores > 1:  # host-pool fan-out, reference process_map surface
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=num_cores) as pool:
+            oks = list(pool.map(_check_one, [(p, tol, flavor) for p in paths],
+                                chunksize=chunksize))
+    else:
+        oks = [check_sample(p, tol, flavor) for p in paths]
     bad = []
-    for name in names:
-        path = os.path.join(json_dir, f"{name}.json")
-        if not check_sample(path, tol, flavor):
+    for name, path, ok in zip(names, paths, oks):
+        if not ok:
             bad.append(name)
             print(f"{name} contains unclosed face")
             if remove:
@@ -116,9 +128,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         help="face layout; default reads the corpus "
                              "meta.json, falling back to per-entry structure")
     parser.add_argument("--remove", action="store_true")
+    # host fan-out, same surface as the reference's process_map
+    # (check_faces_enclosed.py:81-85)
+    parser.add_argument("--num_cores", type=int, default=1)
+    parser.add_argument("--num_chunks", type=int, default=10)
     args = parser.parse_args(argv)
     names = [args.name] if args.name else None
-    bad = check_dataset(args.root, args.tol, args.remove, names, args.flavor)
+    bad = check_dataset(args.root, args.tol, args.remove, names, args.flavor,
+                        args.num_cores, args.num_chunks)
     print(f"{len(bad)} bad samples")
 
 

@@ -99,20 +99,32 @@ def save_png(svg_path: str, png_path: str, width: int = 256, height: int = 256) 
     return True
 
 
+def _render_one(args) -> None:
+    root, n, width, height = args
+    with open(os.path.join(root, "json", f"{n}.json")) as f:
+        data = json.load(f)
+    svg_path = os.path.join(root, "svg", f"{n}.svg")
+    save_svg(data["edges"], svg_path, width=width, height=height)
+    save_png(svg_path, os.path.join(root, "png", f"{n}.png"), width, height)
+
+
 def json_to_svg_png(root: str, name: Optional[str] = None,
-                    width: int = 256, height: int = 256) -> None:
+                    width: int = 256, height: int = 256,
+                    num_cores: int = 1, chunksize: int = 10) -> None:
     """Batch JSON -> SVG (+PNG when possible), reference CLI surface
-    (json_to_svg.py:104-163)."""
+    (json_to_svg.py:104-163) including its process_map fan-out."""
     os.makedirs(os.path.join(root, "svg"), exist_ok=True)
     os.makedirs(os.path.join(root, "png"), exist_ok=True)
     names = ([name] if name else
              [os.path.splitext(n)[0] for n in os.listdir(os.path.join(root, "json"))])
-    for n in names:
-        with open(os.path.join(root, "json", f"{n}.json")) as f:
-            data = json.load(f)
-        svg_path = os.path.join(root, "svg", f"{n}.svg")
-        save_svg(data["edges"], svg_path, width=width, height=height)
-        save_png(svg_path, os.path.join(root, "png", f"{n}.png"), width, height)
+    work = [(root, n, width, height) for n in names]
+    if num_cores > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=num_cores) as pool:
+            list(pool.map(_render_one, work, chunksize=chunksize))
+    else:
+        for item in work:
+            _render_one(item)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -121,8 +133,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--num_cores", type=int, default=1)
+    parser.add_argument("--num_chunks", type=int, default=10)
     args = parser.parse_args(argv)
-    json_to_svg_png(args.root, args.name, args.width, args.height)
+    json_to_svg_png(args.root, args.name, args.width, args.height,
+                    args.num_cores, args.num_chunks)
 
 
 if __name__ == "__main__":
