@@ -131,12 +131,15 @@ class DecodeConfig:
     precision: str = "bf16"
     # order eval/test batches by edge count so each batch groups samples of
     # similar decode depth: a mixed batch decodes until its DEEPEST row
-    # finishes, so complexity-sorted batching cuts wasted steps — measured
-    # 3.07x serving throughput on the 410-sample rich test split
-    # (benchmarks/serving.json sorted_vs_corpus). Metrics are order-
-    # invariant (means over samples); prediction JSONs are keyed by name.
-    # The reference has no analogue (its test loop is batch=1,
-    # trainer.py:51).
+    # finishes, so complexity-sorted batching cuts wasted steps (measured:
+    # benchmarks/serving.json sorted_vs_corpus). Metrics are order-invariant
+    # under the default engines — per-row EOS/type-token retirement makes
+    # each sample's grid a pure function of its own prefix — and prediction
+    # JSONs are keyed by name. The reference-parity stops (parallel
+    # mode="reference"'s whole-batch stop, retire_rows=False's cumulative
+    # EOS count) remain batch-composition-dependent, exactly as the
+    # reference is at batch>1; its test loop avoids this with batch=1
+    # (trainer.py:51).
     sort_eval: bool = True
     # anchor_mode (parallel model):
     #   - "reference": anchors are raw arange(L) WITHOUT the +4 token offset

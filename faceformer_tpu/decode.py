@@ -227,8 +227,20 @@ def greedy_decode_single(
     precision: str = "fp32",
     mode: str = "reference",
     early_stop: bool = True,
+    retire_rows: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Flat-sequence greedy decode (reference: model.py:169-219).
+
+    retire_rows=True (production default) retires each row at its first
+    EOS: later positions write PAD and the batch stops once every row has
+    seen an EOS. Grids become a pure function of per-row prefixes — a
+    sample's prediction no longer depends on its batchmates, so eval
+    metrics are batch-composition/order-invariant and per-shard stops
+    under a sharded mesh match the single-device grids.
+    retire_rows=False restores the reference's stop — a cumulative count
+    of EOS *emissions* reaching batch size (model.py:191-210), which a
+    row re-emitting EOS can trip before a deep row finishes; kept for
+    reference-parity tests and as a measured ablation.
 
     early_stop=False decodes the full token budget regardless of EOS —
     used for worst-case throughput benchmarking."""
@@ -248,11 +260,23 @@ def greedy_decode_single(
     tokens0 = jnp.full((n, t_max), tok.PAD, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(tok.SOS)
 
+    # eos-state triple: initial value, per-step update, batch-done predicate.
+    # retirement tracks a per-row seen-EOS flag; the reference ablation keeps
+    # the cumulative emission count (model.py:191-210)
+    if retire_rows:
+        eos0 = jnp.zeros((n,), bool)
+        eos_update = lambda e, nxt: jnp.logical_or(e, nxt == tok.EOS)
+        eos_done = lambda e: e.all()
+    else:
+        eos0 = jnp.int32(0)
+        eos_update = lambda e, nxt: e + (nxt == tok.EOS).sum().astype(jnp.int32)
+        eos_done = lambda e: e == n
+
     def cond(state):
-        step, _, eos_count = state[0], state[1], state[2]
+        step, _, eos_state = state[0], state[1], state[2]
         if not early_stop:
             return step < t_max - 1
-        return jnp.logical_and(step < t_max - 1, eos_count != n)
+        return jnp.logical_and(step < t_max - 1, ~eos_done(eos_state))
 
     if mode == "reference":
         # prefix buckets: early steps re-run the decoder over a SHORTER
@@ -261,7 +285,7 @@ def greedy_decode_single(
         # total decoder work drops from T * O(T^2) toward sum of bucket^2
         def make_body(bucket):
             def body(state):
-                step, tokens, eos_count = state
+                step, tokens, eos_state = state
                 tgt = gather_memory_rows(memory, tokens[:, :bucket])
                 prefix_pad = jnp.arange(bucket)[None, :] > step  # (1, b)
                 out = L.decoder_forward(
@@ -271,21 +295,22 @@ def greedy_decode_single(
                 out_t = jax.lax.dynamic_index_in_dim(out, step, axis=1, keepdims=False)
                 pointer_t = L.linear(params["project"], out_t)  # (N, E)
                 nxt = masked_argmax(memory, pointer_t, padded_mask)  # (N,)
+                if retire_rows:  # retired rows write PAD (stop-invariant grids)
+                    nxt = jnp.where(eos_state, tok.PAD, nxt)
                 tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 1)
-                eos_count = eos_count + (nxt == tok.EOS).sum().astype(jnp.int32)
-                return step + jnp.int32(1), tokens, eos_count
+                return step + jnp.int32(1), tokens, eos_update(eos_state, nxt)
 
             return body
 
-        state = (jnp.int32(0), tokens0, jnp.int32(0))
+        state = (jnp.int32(0), tokens0, eos0)
         for bucket in _prefix_buckets(t_max):
             # steps s <= bucket - 2 fit this buffer (token s+1 must land in it)
             def bucket_cond(state, _last=bucket - 2):
-                step, _, eos_count = state
+                step, _, eos_state = state
                 ok = step <= _last if _last < t_max - 2 else step < t_max - 1
                 if not early_stop:
                     return ok
-                return jnp.logical_and(ok, eos_count != n)
+                return jnp.logical_and(ok, ~eos_done(eos_state))
 
             state = jax.lax.while_loop(bucket_cond, make_body(bucket), state)
         return {"predict": state[1]}
@@ -299,7 +324,7 @@ def greedy_decode_single(
     sv0 = tuple(jnp.zeros(layer_cache, dtype) for _ in range(n_layers))
 
     def body(state):
-        step, tokens, eos_count, sk, sv = state
+        step, tokens, eos_state, sk, sv = state
         cur = jax.lax.dynamic_index_in_dim(tokens, step, axis=1, keepdims=True)  # (N,1)
         x = gather_memory_rows(memory, cur)  # (N, 1, E)
         qpos_t = jax.lax.dynamic_index_in_dim(query_pos, step, 0, keepdims=True)
@@ -308,11 +333,12 @@ def greedy_decode_single(
             padded_mask, t_max)
         pointer_t = L.linear(params["project"], out[:, 0])
         nxt = masked_argmax(memory, pointer_t, padded_mask)
+        if retire_rows:  # retired rows write PAD (stop-invariant grids)
+            nxt = jnp.where(eos_state, tok.PAD, nxt)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, step + 1, 1)
-        eos_count = eos_count + (nxt == tok.EOS).sum().astype(jnp.int32)
-        return step + jnp.int32(1), tokens, eos_count, sk, sv
+        return step + jnp.int32(1), tokens, eos_update(eos_state, nxt), sk, sv
 
-    state = (jnp.int32(0), tokens0, jnp.int32(0), sk0, sv0)
+    state = (jnp.int32(0), tokens0, eos0, sk0, sv0)
     step, tokens, *_ = jax.lax.while_loop(cond, body, state)
     return {"predict": tokens}
 

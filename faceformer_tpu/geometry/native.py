@@ -17,12 +17,28 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libfaceformer_geometry.so"))
+_SOURCES = ("geometry_kernel.cc", "dataloader.cc", "Makefile")
+# must match faceformer_abi_version() in native/dataloader.cc — bumped
+# together whenever an extern "C" signature changes, so a stale .so built
+# from older sources is never called with the new argument layout
+FACEFORMER_NATIVE_ABI = 2
 _lib = None
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than any source/Makefile."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    built = os.path.getmtime(_LIB_PATH)
+    return any(
+        os.path.getmtime(src) > built
+        for s in _SOURCES
+        if os.path.exists(src := os.path.join(_NATIVE_DIR, s)))
+
+
 def build(force: bool = False) -> bool:
-    """Compile the kernel with make/g++. Returns True on success."""
-    if os.path.exists(_LIB_PATH) and not force:
+    """Compile the kernel with make/g++ when stale. Returns True on success."""
+    if not force and not _stale():
         return True
     try:
         subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -36,9 +52,23 @@ def load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if _stale():
+        build()  # self-heal after source updates; no-op without a toolchain
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib.faceformer_abi_version.restype = ctypes.c_int64
+        abi = int(lib.faceformer_abi_version())
+    except AttributeError:
+        abi = 1  # predates the handshake
+    if abi != FACEFORMER_NATIVE_ABI:
+        import warnings
+        warnings.warn(
+            f"native library ABI {abi} != expected {FACEFORMER_NATIVE_ABI} "
+            f"({_LIB_PATH}); run `make -C native clean all` — "
+            "using Python fallbacks")
+        return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
     f32p = ctypes.POINTER(ctypes.c_float)

@@ -109,12 +109,14 @@ class SurfaceFormer:
         batch: Dict[str, jnp.ndarray],
         precision: str = "fp32",
         mode: str = "reference",
+        retire_rows: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         """Greedy decode (reference: model.py:169-219). Dispatches to the
         decode engine; returns predict (N, T) token grid."""
         from faceformer_tpu.decode import greedy_decode_single
 
-        return greedy_decode_single(params, cfg, batch, precision=precision, mode=mode)
+        return greedy_decode_single(params, cfg, batch, precision=precision,
+                                    mode=mode, retire_rows=retire_rows)
 
     # convenience used by eval paths
     select_next = staticmethod(masked_argmax)

@@ -159,11 +159,9 @@ class Harness:
             model, cfg = self.model, self.cfg
             mode = cfg.decode.mode
             if mode == "fused" and not getattr(model, "is_parallel", False):
-                # the flat model has no fused engine (greedy_decode_single
-                # treats "fused" as causal_cache), and its count-based EOS
-                # stop is batch-composition-dependent — per-shard stops
-                # under shard_map could truncate rows differently than a
-                # single-device run. Route to the XLA engine outright.
+                # the flat model has no fused engine; route to its XLA
+                # KV-cache engine (per-row EOS retirement keeps grids
+                # shard/batch-invariant there, decode.py)
                 mode = "causal_cache"
             if mode == "fused" and self.mesh.shape["model"] > 1:
                 # the fused kernel holds whole attention rows; it cannot

@@ -590,6 +590,12 @@ void worker(Job* job) {
 
 extern "C" {
 
+// ABI handshake: bump together with FACEFORMER_NATIVE_ABI in
+// faceformer_tpu/geometry/native.py whenever any extern "C" signature
+// changes; the Python side refuses to bind a mismatched library instead
+// of calling it with the wrong argument layout.
+int64_t faceformer_abi_version() { return 2; }
+
 // Load + parse + resample + pack a list of sample JSON files, threaded.
 // mode: 0 = single-sequence (label (N, T)), 1 = parallel (label (N, L, T)).
 // Returns the number of failed files (0 = all good); the first failure's

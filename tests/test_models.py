@@ -194,7 +194,9 @@ class TestDecode:
     def test_single_reference_mode_matches_naive(self, tiny_model_cfg, single_batch):
         batch, _ = single_batch
         params = SurfaceFormer.init(jax.random.PRNGKey(3), tiny_model_cfg)
-        fast = greedy_decode_single(params, tiny_model_cfg, batch, mode="reference")
+        # naive mimics the reference's cumulative-EOS-count stop
+        fast = greedy_decode_single(params, tiny_model_cfg, batch,
+                                    mode="reference", retire_rows=False)
         naive = naive_decode_single(params, tiny_model_cfg, batch)
         np.testing.assert_array_equal(np.asarray(fast["predict"]), naive)
 
@@ -208,7 +210,8 @@ class TestDecode:
     def test_single_causal_cache_matches_naive_causal(self, tiny_model_cfg, single_batch):
         batch, _ = single_batch
         params = SurfaceFormer.init(jax.random.PRNGKey(5), tiny_model_cfg)
-        fast = greedy_decode_single(params, tiny_model_cfg, batch, mode="causal_cache")
+        fast = greedy_decode_single(params, tiny_model_cfg, batch,
+                                    mode="causal_cache", retire_rows=False)
         naive = naive_causal_decode_single(params, tiny_model_cfg, batch)
         np.testing.assert_array_equal(np.asarray(fast["predict"]), naive)
 
@@ -348,3 +351,33 @@ class TestRowRetirement:
             for m in ("causal_cache", "reference")}
         for grid in grids.values():
             assert np.all(grid[:, :, 1:] == tok.PAD)
+
+    @pytest.mark.parametrize("mode", ["reference", "causal_cache"])
+    def test_single_grid_invariant_to_early_stop(self, tiny_model_cfg,
+                                                 single_batch, mode):
+        # flat-model retirement: rows past their first EOS write PAD, so
+        # the grid no longer depends on when the batch loop stops
+        batch, _ = single_batch
+        params = SurfaceFormer.init(jax.random.PRNGKey(8), tiny_model_cfg)
+        es = np.asarray(greedy_decode_single(
+            params, tiny_model_cfg, batch, mode=mode, early_stop=True)["predict"])
+        full = np.asarray(greedy_decode_single(
+            params, tiny_model_cfg, batch, mode=mode, early_stop=False)["predict"])
+        np.testing.assert_array_equal(es, full)
+
+    @pytest.mark.parametrize("mode", ["reference", "causal_cache"])
+    def test_single_grid_invariant_to_batchmates(self, tiny_model_cfg,
+                                                 single_batch, mode):
+        # each sample's retired grid must equal its own batch-of-1 decode —
+        # the invariance sort_eval and sharded eval rely on (the reference's
+        # cumulative-EOS-count stop does not have this property)
+        batch, _ = single_batch
+        params = SurfaceFormer.init(jax.random.PRNGKey(3), tiny_model_cfg)
+        together = np.asarray(greedy_decode_single(
+            params, tiny_model_cfg, batch, mode=mode)["predict"])
+        for i in range(together.shape[0]):
+            solo = np.asarray(greedy_decode_single(
+                params, tiny_model_cfg,
+                {k: v[i:i + 1] for k, v in batch.items()},
+                mode=mode)["predict"])
+            np.testing.assert_array_equal(together[i], solo[0])

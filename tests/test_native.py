@@ -14,6 +14,24 @@ pytestmark = pytest.mark.skipif(
     reason="native kernel could not be built")
 
 
+class TestAbiHandshake:
+    def test_version_matches(self):
+        lib = native.load()
+        assert int(lib.faceformer_abi_version()) == native.FACEFORMER_NATIVE_ABI
+
+    def test_mismatch_refuses_to_bind(self, monkeypatch):
+        # a library built from other sources (different ABI) must engage the
+        # Python fallbacks rather than be called with the wrong layout
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "FACEFORMER_NATIVE_ABI",
+                            native.FACEFORMER_NATIVE_ABI + 1)
+        with pytest.warns(UserWarning, match="ABI"):
+            assert native.load() is None
+        monkeypatch.undo()
+        native._lib = None
+        assert native.load() is not None  # real version binds again
+
+
 class TestResample:
     def test_parity_random_edges(self, rng):
         edges = []

@@ -44,8 +44,9 @@ def main(argv=None):
     parser.add_argument("--config", default="configs/synthetic-big.yml")
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--iters", type=int, default=5)
-    parser.add_argument("--num_batches", type=int, default=4,
-                        help="test-split batches per measurement pass")
+    parser.add_argument("--num_batches", type=int, default=0,
+                        help="test-split batches per measurement pass "
+                             "(0 = the whole split)")
     parser.add_argument("--out", default=None, help="optional JSON output path")
     args = parser.parse_args(argv)
 
@@ -63,16 +64,17 @@ def main(argv=None):
 
     def batches_in(order):
         idx = list(range(len(ds)))
+        if args.num_batches:
+            # bound the subset BEFORE ordering so every order measures the
+            # SAME solids — sorting first would hand the "sorted" pass the
+            # split's shallowest samples and inflate its ratio
+            idx = idx[:args.batch * args.num_batches]
         if order == "sorted":
             idx.sort(key=lambda i: ds[i]["num_input"])
         items = [ds[i] for i in idx]
-        out = []
-        for b in iter_batches(items, args.batch, pad_to_full=True):
-            out.append(jax.device_put(
-                {k: v for k, v in b.items() if not isinstance(v, (list, str))}))
-            if len(out) >= args.num_batches:
-                break
-        return out
+        return [jax.device_put(
+            {k: v for k, v in b.items() if not isinstance(v, (list, str))})
+            for b in iter_batches(items, args.batch, pad_to_full=True)]
 
     order_batches = {order: batches_in(order) for order in ("corpus", "sorted")}
     # count REAL solids in the selected batches: a split smaller than
@@ -113,15 +115,17 @@ def main(argv=None):
             text=True).stdout.strip(),
         "ckpt": args.ckpt, "config": args.config,
         "batch": args.batch, "num_batches": args.num_batches,
+        "batches_per_pass": len(order_batches["corpus"]),
         "solids_per_pass": n_solids,
         "raw_pass_seconds": {k: [round(t, 4) for t in v]
                              for k, v in raw.items()},
     }
     for key, ts in raw.items():
         best = min(ts)
+        n_batches = len(order_batches[key.split("/")[1]])
         result[key] = {
             "solids_per_sec": round(n_solids / best, 1),
-            "ms_per_batch": round(best * 1e3 / args.num_batches, 1),
+            "ms_per_batch": round(best * 1e3 / n_batches, 1),
         }
         print(f"{key:>24}: {result[key]['solids_per_sec']} solids/s "
               f"({result[key]['ms_per_batch']} ms/batch of {args.batch})")

@@ -17,11 +17,16 @@ run_stage() {
     coedge)   config=configs/synthetic-coedge-big.yml;  version="coedge-big-s${seed}";;
     *) echo "unknown stage $1" >&2; exit 2;;
   esac
+  # explicit chaining: `set -e` is suppressed inside an if-condition (the
+  # caller runs run_stage in one), so without || return a failed training
+  # run would fall through and overwrite results.json from a stale ckpt
   python main.py --config-file "$config" \
-    trainer.version "$version" trainer.seed "$seed"
+    trainer.version "$version" trainer.seed "$seed" || return 1
+  local ckpt
+  ckpt="$(python tools/best_ckpt.py "logs/SurfaceFormer/${version}")" || return 1
   python main.py --config-file "$config" \
-    --test_ckpt "$(python tools/best_ckpt.py logs/SurfaceFormer/${version})" \
-    trainer.version "$version" trainer.seed "$seed"
+    --test_ckpt "$ckpt" \
+    trainer.version "$version" trainer.seed "$seed" || return 1
 }
 
 for stage in "$@"; do
