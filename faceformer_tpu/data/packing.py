@@ -119,7 +119,13 @@ def pack_label_parallel(faces_indices: Sequence, cfg: ModelConfig) -> Dict[str, 
                 label[row, : len(seq)] = np.asarray(seq, dtype=np.int32) + tok.length
                 label[row, len(seq)] = type_token
                 row += 1
-    label[row:, 0] = tok.length - 1  # bare Other token on unused rows
+    # bare Other-type token on unused rows. The reference writes the literal
+    # `token.len - 1` (data_para.py:96), which IS the Other token for its
+    # 4-token table; spelled semantically here so extended tables (e.g. the
+    # 6-token direction_token one, where len-1 would be DIR1) stay correct.
+    # decode.py seeds inactive anchor rows with the same token so decoded
+    # grids match these labels on unused rows.
+    label[row:, 0] = face_type_token(2, tok)
     return {
         "label": label,
         "label_mask": label == tok.PAD,

@@ -484,8 +484,13 @@ def greedy_decode_parallel(
     num_input = batch["num_input"].astype(jnp.int32)  # (N,)
     anchor_ids = jnp.arange(f, dtype=jnp.int32)[None, :]  # (1, F)
     offset = tok.length if anchor_mode == "aligned" else 0
+    # inactive rows seed with the bare Other-type token, mirroring
+    # pack_label_parallel's unused-row fill (reference data_para.py:96
+    # writes the literal token.len - 1 — the Other token in its 4-token
+    # table; semantic form keeps extended token tables aligned)
+    other_tok = 2 + tok.face_type_offset  # == packing.face_type_token(2, tok)
     anchors = jnp.where(anchor_ids < num_input[:, None],
-                        anchor_ids + offset, tok.length - 1)
+                        anchor_ids + offset, other_tok)
 
     tokens0 = jnp.full((n, f, t_max), tok.PAD, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(anchors)

@@ -142,12 +142,23 @@ def shard_opt_state(opt_state, params, mesh: Mesh, shard_model: bool = False):
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Move a host batch onto the mesh, batch axis over `data`. Non-array
-    fields (names) stay on host."""
+    fields (names) stay on host.
+
+    Multi-process meshes treat the host batch as PROCESS-LOCAL data: the
+    global batch is the concatenation of every host's stripe
+    (jax.make_array_from_process_local_data). A bare device_put would
+    instead interpret each host's different stripe as THE global value —
+    every host keeps only the row positions it owns from its own batch,
+    silently discarding (P-1)/P of the loaded rows."""
     sh = batch_sharding(mesh)
+    local = jax.process_count() > 1
     out = {}
     for key, val in batch.items():
         if isinstance(val, (list, str)):
             out[key] = val
+        elif local:
+            out[key] = jax.make_array_from_process_local_data(
+                sh, np.asarray(val))
         else:
             out[key] = jax.device_put(np.asarray(val), sh)
     return out

@@ -105,7 +105,9 @@ class CheckpointManager:
         self._write(last_path, state, meta)
         self._index["last"] = last_path
 
-        if metric_value is not None:
+        # Lightning save_top_k semantics: 0 disables scored saves, negative
+        # keeps every scored checkpoint (reference main.py:31-37)
+        if metric_value is not None and self.top_k != 0:
             name = f"epoch={epoch}-{self.metric}={metric_value:.4f}"
             path = os.path.join(self.directory, name)
             # entries are [metric, path, epoch]; legacy indexes carry
@@ -121,17 +123,21 @@ class CheckpointManager:
                               default=None)
             tie_fresh = (newest_tied is not None
                          and epoch - newest_tied < self.tie_refresh_epochs)
-            if (len(entries) < self.top_k
-                    or metric_value > min(e[0] for e in entries)
-                    or (metric_value >= min(e[0] for e in entries) and not tie_fresh)):
+            floor = min((e[0] for e in entries), default=None)
+            if (self.top_k < 0
+                    or len(entries) < self.top_k
+                    or metric_value > floor
+                    or (metric_value >= floor and not tie_fresh)):
                 self._write(path, state, meta)
                 entries.append((metric_value, path, epoch))
                 entries.sort(key=lambda e: (-e[0], -e[2]))
-                for _, stale, _e in entries[self.top_k:]:
-                    shutil.rmtree(stale, ignore_errors=True)
-                    if os.path.exists(stale + ".meta.json"):
-                        os.remove(stale + ".meta.json")
-                self._index["top"] = entries[: self.top_k]
+                if self.top_k > 0:
+                    for _, stale, _e in entries[self.top_k:]:
+                        shutil.rmtree(stale, ignore_errors=True)
+                        if os.path.exists(stale + ".meta.json"):
+                            os.remove(stale + ".meta.json")
+                    entries = entries[: self.top_k]
+                self._index["top"] = entries
         with open(self._index_path, "w") as f:
             json.dump(self._index, f, indent=1)
         return self._index["last"]

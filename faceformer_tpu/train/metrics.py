@@ -114,7 +114,14 @@ def parse_parallel_faces(
 ) -> Tuple[List[Face], List[Face]]:
     """Parse per-anchor grids (reference: trainer.py:181-208). Each row is
     cut at its first face-type token (which doubles as EOS and encodes the
-    type)."""
+    type).
+
+    Reference quirk kept on purpose: a row that never emits a type token
+    (loop hit max_face_length first) is NOT dropped — `chunk[-1]` is then
+    an edge pointer or PAD and the face gets a garbage type (e.g. 39 or
+    -1), exactly as the reference's `predict[-1] - face_type_offset` does
+    (trainer.py:185-187/198-200). Such faces almost never survive the set
+    match, but the per-sample denominators must count them identically."""
 
     def is_type_token(seq):
         return (seq >= tok.face_type_offset) & (seq < tok.length)
@@ -157,10 +164,34 @@ class FaceMetrics:
                 predicts, labels, len(edges), self.tok)
 
         out: Dict = {}
+        # the oriented flavors share the filter -> coedge-seq-accuracy ->
+        # flatten-to-edge-sets pipeline; only the final mapping differs
+        to_edge_sets = None
         if self.post_process.direction_token:
             # oriented loops must chain; after the filter, orientation has
             # served its purpose and faces compare as undirected edge sets
             # (the flavor stores each undirected edge once)
+            def to_edge_sets(faces):
+                return [
+                    (ftype, [i for loop in loops for (i, _o) in loop])
+                    for ftype, loops in faces
+                ]
+        elif self.post_process.is_coedge:
+            # default {}: label-free predict (tools/predict.py) runs on raw
+            # wireframe JSONs that carry no pairings; mapping then keeps
+            # coedge indices as-is. Dataset JSONs always include pairings.
+            pairings = raw_data.get("pairings", {})
+
+            def to_edge_sets(faces):
+                return [
+                    (ftype, map_coedge_into_edges(
+                        pairings, [i for loop in loops for i in loop]))
+                    for ftype, loops in faces
+                ]
+
+        if to_edge_sets is not None:
+            # one C call per sample when the native kernel is built;
+            # byte-identical to the Python predicate (parity-tested)
             from faceformer_tpu.geometry.native import (
                 filter_faces_by_encloseness_batch,
             )
@@ -170,45 +201,10 @@ class FaceMetrics:
                 edges, predict_faces, tol)
             label_faces = filter_faces_by_encloseness_batch(
                 edges, label_faces, tol)
-
             out["accuracy"], out["type_acc_coedge_seq"] = _coedge_seq_accuracy(
                 predict_faces, label_faces)
-
-            def strip_orientation(faces):
-                return [
-                    (ftype, [i for loop in loops for (i, _o) in loop])
-                    for ftype, loops in faces
-                ]
-
-            label_faces = strip_orientation(label_faces)
-            predict_faces = strip_orientation(predict_faces)
-        elif self.post_process.is_coedge:
-            from faceformer_tpu.geometry.native import (
-                filter_faces_by_encloseness_batch,
-            )
-
-            # default {}: label-free predict (tools/predict.py) runs on raw
-            # wireframe JSONs that carry no pairings; mapping then keeps
-            # coedge indices as-is. Dataset JSONs always include pairings.
-            pairings = raw_data.get("pairings", {})
-            tol = self.post_process.enclosedness_tol
-            # one C call per sample when the native kernel is built;
-            # byte-identical to the Python predicate (parity-tested)
-            predict_faces = filter_faces_by_encloseness_batch(edges, predict_faces, tol)
-            label_faces = filter_faces_by_encloseness_batch(edges, label_faces, tol)
-
-            out["accuracy"], out["type_acc_coedge_seq"] = _coedge_seq_accuracy(
-                predict_faces, label_faces)
-
-            def to_edges(faces):
-                return [
-                    (ftype, map_coedge_into_edges(
-                        pairings, [i for loop in loops for i in loop]))
-                    for ftype, loops in faces
-                ]
-
-            label_faces = to_edges(label_faces)
-            predict_faces = to_edges(predict_faces)
+            predict_faces = to_edge_sets(predict_faces)
+            label_faces = to_edge_sets(label_faces)
 
         # canonicalize: dedup labels, majority-vote predicted types
         # (reference: trainer.py:257-269)
@@ -247,7 +243,18 @@ class FaceMetrics:
         sample_valid: Sequence[bool] | None = None,
     ) -> Dict[str, List]:
         """Evaluate every sample in a batch; returns dict-of-lists plus the
-        batch token accuracy over labels > PAD (reference: trainer.py:296-300)."""
+        batch token accuracy over labels > PAD (reference: trainer.py:296-300).
+
+        Reference quirk kept on purpose: for the PARALLEL model this
+        elementwise grid comparison pairs decode rows (anchored per edge
+        index) with label rows (packed in face/loop/rotation enumeration
+        order, data_para.py:71-95) — the rows generally correspond to
+        different rotations, so even a perfect model scores < 1.0. The
+        reference computes the same number on the same grids; it is a
+        training-progress diagnostic there and here, never a headline
+        metric (checkpoint selection uses valid_precision). The flat
+        model's rows are aligned (SOS at column 0 both sides), where this
+        is a true token accuracy."""
         results: Dict[str, List] = {
             k: []
             for k in ("precision", "recall", "type_acc", "accuracy",

@@ -220,6 +220,20 @@ class Harness:
         params, opt_state = state["params"], state["opt_state"]
         step = state["step"]
         pending = None  # (step, loss, acc) of the previous step, still on device
+
+        def flush_pending(clear: bool = False):
+            # lag-1 logging: the previous step's scalars are fetched after
+            # the next step is dispatched, so the device->host sync overlaps
+            # compute (a per-step blocking float() serializes the loop —
+            # costly on network-tunneled devices)
+            nonlocal pending
+            if pending is not None and pending[0] % cfg.trainer.log_every_n_steps == 0:
+                logger.log_scalars(
+                    pending[0],
+                    {"train_loss": float(pending[1]),
+                     "train_cls_acc": float(pending[2])})
+                if clear:
+                    pending = None
         for epoch in range(state["epoch"], max_epochs):
             if self._epoch_schedule is not None:
                 opt_state.hyperparams["learning_rate"] = jnp.asarray(
@@ -228,8 +242,11 @@ class Harness:
                 train_ds, cfg.batch_size_train, shuffle=True, drop_last=True,
                 seed=cfg.trainer.seed, epoch=epoch,
                 # multi-host (DCN) data striping: each process loads a
-                # disjoint stripe of the same global permutation; a no-op
-                # in single-process runs
+                # disjoint stripe of the same global permutation and
+                # contributes batch_size_train PER-HOST rows to the global
+                # batch (shard_batch assembles them via
+                # make_array_from_process_local_data); a no-op in
+                # single-process runs
                 process_index=jax.process_index(),
                 process_count=jax.process_count())
             for device_batch in _prefetch_to_device(
@@ -239,20 +256,9 @@ class Harness:
                 params, opt_state, loss, acc = step_fn(
                     params, opt_state, device_batch, sub)
                 step += 1
-                # lag-1 logging: fetch the PREVIOUS step's scalars after the
-                # current step is dispatched, so the device->host sync
-                # overlaps compute (a per-step blocking float() serializes
-                # the loop — costly on network-tunneled devices)
-                if pending is not None and pending[0] % cfg.trainer.log_every_n_steps == 0:
-                    logger.log_scalars(
-                        pending[0],
-                        {"train_loss": float(pending[1]), "train_cls_acc": float(pending[2])})
+                flush_pending()
                 pending = (step, loss, acc)
-            if pending is not None and pending[0] % cfg.trainer.log_every_n_steps == 0:
-                logger.log_scalars(
-                    pending[0],
-                    {"train_loss": float(pending[1]), "train_cls_acc": float(pending[2])})
-                pending = None
+            flush_pending(clear=True)
             state.update(params=params, opt_state=opt_state, epoch=epoch + 1, step=step)
             tree = {"params": params, "opt_state": opt_state,
                     "epoch": jnp.int32(epoch + 1), "step": jnp.int32(step)}
@@ -271,6 +277,14 @@ class Harness:
         return state
 
     def _eval_batches(self, split: str):
+        if jax.process_count() > 1:
+            # eval pulls full prediction grids to every host
+            # (np.asarray on a cross-process-sharded array is an error) —
+            # stripe the split per host + allreduce metric means before
+            # enabling this. Training DOES support multi-process striping.
+            raise NotImplementedError(
+                "multi-process eval is not supported; run valid/test on a "
+                "single host (any number of local devices)")
         ds = self.dataset(split)
         batch_size = min(self.cfg.batch_size_valid, max(len(ds), 1))
         # round batch to a multiple of the data axis for even sharding
@@ -339,8 +353,18 @@ class Harness:
 
         agg: Dict[str, List[float]] = {}
         total_time, sample_count = 0.0, 0
+        warmed = False
         for batch in batches:
             device_batch = shard_batch(_device_batch(batch), self.mesh)
+            if not warmed:
+                # untimed warm-up on the first batch: the first call pays
+                # XLA compilation (tens of seconds at flagship dims) plus
+                # the tunneled device's cold-stream settle — timing it
+                # would inflate avg_time_per_sample by an order of
+                # magnitude (all batches share one static shape, so one
+                # compile serves the whole loop)
+                jax.block_until_ready(decode(params, device_batch))
+                warmed = True
             t0 = time.perf_counter()
             predict = jax.block_until_ready(decode(params, device_batch))
             total_time += time.perf_counter() - t0

@@ -157,6 +157,31 @@ class TestTopKTieBreak:
         # `last` is written regardless, so resume granularity is unaffected
         assert mgr._index["last"].endswith("last")
 
+    def test_top_k_zero_disables_scored_saves(self, tmp_path):
+        # Lightning save_top_k=0: only `last` is written (previously the
+        # first scored save crashed on min() of an empty entry list)
+        from faceformer_tpu.config import Config
+
+        mgr = CheckpointManager(str(tmp_path), top_k=0)
+        cfg = Config()
+        tree = {"w": jnp.zeros((2,))}
+        mgr.save(tree, cfg, 1, metric_value=0.9)
+        mgr.save(tree, cfg, 2, metric_value=1.0)
+        assert mgr._index["top"] == []
+        assert mgr._index["last"].endswith("last")
+
+    def test_top_k_negative_keeps_all(self, tmp_path):
+        # Lightning save_top_k=-1: every scored checkpoint is kept
+        from faceformer_tpu.config import Config
+
+        mgr = CheckpointManager(str(tmp_path), top_k=-1)
+        cfg = Config()
+        tree = {"w": jnp.zeros((2,))}
+        for epoch, val in ((1, 0.5), (2, 0.9), (3, 0.7)):
+            mgr.save(tree, cfg, epoch, metric_value=val)
+        kept = sorted(e[1] for e in mgr._index["top"])
+        assert len(kept) == 3
+
     def test_fresh_tie_still_loses_to_higher_metric(self, tmp_path):
         from faceformer_tpu.config import Config
 
