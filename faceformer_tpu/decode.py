@@ -109,7 +109,7 @@ def _cross_kv(params: Params, memory: jnp.ndarray, pos: jnp.ndarray, num_head: i
     return k, v
 
 
-def _attend(q, k, v, key_padding_mask, num_head):
+def _attend(q, k, v, key_padding_mask):
     """One-query attention: q (..., 1, H, hd), k/v (..., S, H, hd).
 
     When K/V carry a size-1 broadcast dim against q's anchor axis
@@ -194,7 +194,7 @@ def _incremental_decoder_step(
             sv, jnp.expand_dims(v_t[..., 0, :, :], t_axis), start)
         new_k.append(sk)
         new_v.append(sv)
-        attn = _attend(q, sk, sv, self_padding, num_head)
+        attn = _attend(q, sk, sv, self_padding)
         attn = attn.reshape(*attn.shape[:-2], -1)
         x = x + (attn @ sa["wo"].astype(x.dtype) + sa["bo"].astype(x.dtype))
 
@@ -202,7 +202,7 @@ def _incremental_decoder_step(
         ca = p["cross_attn"]
         q2 = ((t2 + qpos_t) @ ca["wq"].astype(x.dtype) + ca["bq"].astype(x.dtype))
         q2 = q2.reshape(*q2.shape[:-1], num_head, head_dim)
-        attn = _attend(q2, cross_k[i], cross_v[i], mem_padding, num_head)
+        attn = _attend(q2, cross_k[i], cross_v[i], mem_padding)
         attn = attn.reshape(*attn.shape[:-2], -1)
         x = x + (attn @ ca["wo"].astype(x.dtype) + ca["bo"].astype(x.dtype))
 
@@ -534,11 +534,18 @@ def greedy_decode_parallel(
     if mode == "fused":
         from faceformer_tpu import ops as _ops
 
+        # honor the Pallas kill switch (FACEFORMER_PALLAS=0 / ops.enable)
+        # like every other kernel call site: with kernels off, the
+        # equivalent XLA causal_cache engine decodes instead — the
+        # documented way to bisect a suspected kernel bug, and the only
+        # sane path on CPU (the interpreter is for parity tests, not
+        # production decode).
         # Mosaic tiles the packed K|V cache's lane dim at 128: compiled
         # kernels need 2*num_model % 128 == 0 (every shipped config
         # qualifies; tiny test dims run through the interpreter on CPU).
         # Anything smaller falls back to the equivalent XLA engine.
-        if (2 * cfg.num_model) % 128 == 0 or _ops.interpret_mode():
+        if _ops.enabled() and (
+                (2 * cfg.num_model) % 128 == 0 or _ops.interpret_mode()):
             return _fused_decode_parallel(
                 params, cfg, memory, pos, padded_mask, tokens0,
                 anchors, dtype, early_stop, retire_rows=retire_rows)

@@ -61,6 +61,12 @@ def init_coordinate_embedding(key, num_axes: int, num_bits: int, num_embed: int,
     """Quantized-coordinate embedding (reference: embedding.py:41-65).
     Present for capability parity; the shipped models embed raw sampled
     points through the MLP instead."""
+    # Reference quirk kept on purpose: dependent_embed=False sizes the table
+    # at 2**num_bits * num_axes rows, but forward indexes raw quantized
+    # values in [0, 2**num_bits) with NO per-axis offset (reference
+    # embedding.py:45,60) — axes share the first 2**num_bits rows and the
+    # rest of the table is never read. Checkpoint-parity requires the same
+    # table shape and the same (unused) rows.
     ntoken = 2 ** num_bits if dependent_embed else (2 ** num_bits) * num_axes
     kt, kv, kp = jax.random.split(key, 3)
     return {

@@ -181,7 +181,7 @@ def _is_causal_mask(mask) -> bool:
     return bool((arr == np.triu(np.ones(arr.shape, bool), k=1)).all())
 
 
-def _maybe_fused_attention(q, k, v, num_head, attn_mask, key_padding_mask,
+def _maybe_fused_attention(q, k, v, attn_mask, key_padding_mask,
                            dropout_rate, rng):
     """Route eligible attention calls to the flash Pallas kernel (forward +
     custom VJP, so it works under jax.grad): dropout-free, and an attn_mask
@@ -282,7 +282,7 @@ def multihead_attention(
     k = _split_heads(linear({"w": p["wk"], "b": p["bk"]}, key), num_head)
     v = _split_heads(linear({"w": p["wv"], "b": p["bv"]}, value), num_head)
 
-    fused = _maybe_fused_attention(q, k, v, num_head, attn_mask,
+    fused = _maybe_fused_attention(q, k, v, attn_mask,
                                    key_padding_mask, dropout_rate, rng)
     if fused is not None:
         return linear({"w": p["wo"], "b": p["bo"]}, fused)

@@ -279,7 +279,11 @@ def _flash_bwd(causal, interpret, dropout_rate, residuals, g_out):
     sk = k.shape[1]
     scale = hd ** -0.5
     qf, kf, vf, biasf, (g, sq_block, sq_pad, sk_pad) = _prepare(q, k, v, bias)
-    gf = _prepare(g_out, k, v, bias)[0]
+    # g_out shares q's geometry: pack it directly instead of re-running the
+    # whole _prepare (which would redundantly re-pad k/v/bias)
+    gf = g_out.reshape(n, sq, e)
+    if sq_pad != sq:
+        gf = jnp.pad(gf, ((0, 0), (0, sq_pad - sq), (0, 0)))
     grid = (n // g, sq_pad // sq_block)
     qspec, kspec, bspec, lspec = _specs(g, sq_block, sk_pad, e, h)
 

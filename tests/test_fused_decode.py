@@ -19,6 +19,18 @@ from faceformer_tpu.data.dataset import ABCDatasetParallel
 from faceformer_tpu.decode import greedy_decode_parallel
 from faceformer_tpu.geometry.fixtures import random_sample
 from faceformer_tpu.models.parallel import SurfaceFormerParallel
+from faceformer_tpu import ops
+
+
+@pytest.fixture(autouse=True)
+def _force_kernels():
+    # mode="fused" honors the Pallas kill switch; on CPU kernels default
+    # OFF, so force them on (interpret mode engages automatically off-TPU)
+    # or every fused call would silently fall back to causal_cache and the
+    # equality assertions would be vacuous
+    ops.enable(True)
+    yield
+    ops.enable(None)
 
 
 @pytest.fixture(scope="module")

@@ -13,6 +13,16 @@ from faceformer_tpu.config import Config, DecodeConfig, TrainerConfig
 from faceformer_tpu.data.dataset import ABCDatasetParallel
 from faceformer_tpu.geometry.fixtures import random_sample
 from faceformer_tpu.train.trainer import Harness
+from faceformer_tpu import ops
+
+
+@pytest.fixture(autouse=True)
+def _force_kernels():
+    # decode.mode=fused honors the Pallas kill switch; force kernels on so
+    # the CPU run actually exercises the fused engine (interpreter)
+    ops.enable(True)
+    yield
+    ops.enable(None)
 
 
 def make_harness(tiny_model_cfg, tmp_path, num_devices):
