@@ -220,16 +220,13 @@ def project_polyline(pts: np.ndarray, basis: np.ndarray, focus: float = 0.0,
 # ---------------------------------------------------------------------------
 
 
-def _comp_points(p1, p2) -> float:
-    return (p1[1] - p2[1]) if p1[0] == p2[0] else (p1[0] - p2[0])
-
-
-def _comp_edges(e1: List[List[float]], e2: List[List[float]]) -> float:
-    for a, b in zip(e1, e2):
-        diff = _comp_points(a, b)
-        if diff != 0:
-            return diff
-    return 0.0
+# canonical ordering comes from ONE place — these comparators define the
+# dataset's canonical form, so a drifting duplicate would silently break
+# corpus/reference parity
+from faceformer_tpu.geometry.canonical import (  # noqa: E402
+    comp_points as _comp_points,
+    comp_point_seqs as _comp_edges,
+)
 
 
 def build_sample(
@@ -361,12 +358,17 @@ def build_sample(
     else:
         faces_indices = sorted(faces_indices)
 
-    # pairings: lower coedge index -> its reversed twin (prepare_data.py:258-263)
+    # pairings: lower coedge index -> its reversed twin (prepare_data.py:258-263).
+    # One dict lookup per edge: interning guarantees point sequences are
+    # unique, so the reversed twin (if any) is a single exact-key hit —
+    # equivalent to the old O(E^2) scan (j > i also excludes palindromes,
+    # exactly as the old upper-triangle loop did)
+    index_of = {tuple(map(tuple, e)): i for i, e in enumerate(edges)}
     pairings = {}
-    for i in range(len(edges)):
-        for j in range(i + 1, len(edges)):
-            if edges[i] == edges[j][::-1]:
-                pairings[str(i)] = j
+    for i, e in enumerate(edges):
+        j = index_of.get(tuple(map(tuple, e[::-1])))
+        if j is not None and j > i:
+            pairings[str(i)] = j
 
     dominant_directions = [
         project_polyline(np.array([[0.0, 0, 0], [1.0 if k == 0 else 0.0, 1.0 if k == 1 else 0.0, 1.0 if k == 2 else 0.0]]), basis, focus)

@@ -23,6 +23,7 @@ _SOURCES = ("geometry_kernel.cc", "dataloader.cc", "Makefile")
 # from older sources is never called with the new argument layout
 FACEFORMER_NATIVE_ABI = 2
 _lib = None
+_load_failed = False  # memoized: load() sits on per-sample hot paths
 
 
 def _stale() -> bool:
@@ -49,12 +50,19 @@ def build(force: bool = False) -> bool:
 
 
 def load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        # a failed build/handshake is permanent for the process: callers
+        # probe load() once per sample (resampling, enclosedness filters),
+        # and re-running `make` per probe would cost minutes on an 8k
+        # corpus before the Python fallback even starts
+        return None
     if _stale():
         build()  # self-heal after source updates; no-op without a toolchain
     if not os.path.exists(_LIB_PATH):
+        _load_failed = True
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     try:
@@ -68,6 +76,7 @@ def load() -> Optional[ctypes.CDLL]:
             f"native library ABI {abi} != expected {FACEFORMER_NATIVE_ABI} "
             f"({_LIB_PATH}); run `make -C native clean all` — "
             "using Python fallbacks")
+        _load_failed = True
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)

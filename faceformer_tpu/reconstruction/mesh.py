@@ -297,46 +297,23 @@ def reconstruct_mesh(data: Dict):
     return vertices, faces
 
 
-def reconstruct_file(name: str, root: str) -> bool:
-    out_path = os.path.join(root, "obj", f"{name}.obj")
-    if os.path.exists(out_path):
-        return True
-    try:
-        with open(os.path.join(root, "json", f"{name}.json")) as f:
-            data = json.load(f)
-        mesh = reconstruct_mesh(data)
-        if mesh is None:
-            return False
-        from faceformer_tpu.reconstruction.io3d import write_obj_mesh
+def _write_mesh(out_path: str, mesh) -> None:
+    from faceformer_tpu.reconstruction.io3d import write_obj_mesh
 
-        write_obj_mesh(out_path, mesh[0], mesh[1])
-        return True
-    except Exception as exc:
-        print(f"{name} failed: {exc}")
-        return False
+    write_obj_mesh(out_path, mesh[0], mesh[1])
+
+
+def reconstruct_file(name: str, root: str) -> bool:
+    """Idempotent per-file wrapper (shared scaffolding: runner.py)."""
+    from faceformer_tpu.reconstruction.runner import process_file
+
+    return process_file(name, root, "obj", "obj", reconstruct_mesh, _write_mesh)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
-    import argparse
-    from concurrent.futures import ProcessPoolExecutor
+    from faceformer_tpu.reconstruction.runner import run_cli
 
-    parser = argparse.ArgumentParser(description="mesh reconstruction")
-    parser.add_argument("--root", type=str, default="/root/data")
-    parser.add_argument("--name", type=str, default=None)
-    parser.add_argument("--num_cores", type=int, default=10)
-    args = parser.parse_args(argv)
-
-    os.makedirs(os.path.join(args.root, "obj"), exist_ok=True)
-    if args.name is not None:
-        reconstruct_file(args.name, args.root)
-        return
-    names = [os.path.splitext(n)[0] for n in os.listdir(os.path.join(args.root, "json"))]
-    if args.num_cores > 1:
-        with ProcessPoolExecutor(max_workers=args.num_cores) as pool:
-            list(pool.map(reconstruct_file, names, [args.root] * len(names)))
-    else:
-        for name in names:
-            reconstruct_file(name, args.root)
+    run_cli("mesh reconstruction", "obj", reconstruct_file, argv)
 
 
 if __name__ == "__main__":

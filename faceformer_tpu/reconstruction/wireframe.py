@@ -397,47 +397,18 @@ def reconstruct_wireframe(data: Dict) -> Optional[np.ndarray]:
 
 
 def reconstruct_file(name: str, root: str) -> bool:
-    """Idempotent per-file wrapper; errors are swallowed and logged
-    (reference: :27-31, :366-368)."""
-    out_path = os.path.join(root, "ply", f"{name}.ply")
-    if os.path.exists(out_path):
-        return True
-    try:
-        with open(os.path.join(root, "json", f"{name}.json")) as f:
-            data = json.load(f)
-        points = reconstruct_wireframe(data)
-        if points is None:
-            return False
-        from faceformer_tpu.reconstruction.io3d import write_ply_points
+    """Idempotent per-file wrapper (shared scaffolding: runner.py)."""
+    from faceformer_tpu.reconstruction.io3d import write_ply_points
+    from faceformer_tpu.reconstruction.runner import process_file
 
-        write_ply_points(out_path, points)
-        return True
-    except Exception as exc:  # per-item fault tolerance, pipeline continues
-        print(f"{name} failed: {exc}")
-        return False
+    return process_file(name, root, "ply", "ply",
+                        reconstruct_wireframe, write_ply_points)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
-    import argparse
-    from concurrent.futures import ProcessPoolExecutor
+    from faceformer_tpu.reconstruction.runner import run_cli
 
-    parser = argparse.ArgumentParser(description="wireframe reconstruction")
-    parser.add_argument("--root", type=str, default="/root/data")
-    parser.add_argument("--name", type=str, default=None)
-    parser.add_argument("--num_cores", type=int, default=10)
-    args = parser.parse_args(argv)
-
-    os.makedirs(os.path.join(args.root, "ply"), exist_ok=True)
-    if args.name is not None:
-        reconstruct_file(args.name, args.root)
-        return
-    names = [os.path.splitext(n)[0] for n in os.listdir(os.path.join(args.root, "json"))]
-    if args.num_cores > 1:
-        with ProcessPoolExecutor(max_workers=args.num_cores) as pool:
-            list(pool.map(reconstruct_file, names, [args.root] * len(names)))
-    else:
-        for name in names:
-            reconstruct_file(name, args.root)
+    run_cli("wireframe reconstruction", "ply", reconstruct_file, argv)
 
 
 if __name__ == "__main__":

@@ -34,8 +34,10 @@ def render_svg(
     padding: float = 0.2,
     line_width: float = 6 / 256,
     mark_starts: bool = True,
+    colors: Optional[Sequence[str]] = None,
 ) -> str:
-    """Render polyline edges to an SVG document string."""
+    """Render polyline edges to an SVG document string. ``colors`` overrides
+    the default per-edge hue ramp with an explicit stroke per edge."""
     if not edges:
         return f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}"/>'
     x0, y0, x1, y1 = _bounds(edges)
@@ -49,6 +51,7 @@ def render_svg(
     stroke = line_width * span
     for i, edge in enumerate(edges):
         pts = " ".join(f"{p[0]:.6g},{p[1]:.6g}" for p in edge)
+        color = colors[i] if colors is not None else _color(i, len(edges))
         # no vector-effect: the reference marks non-scaling-stroke
         # (json_to_svg.py:36) but its user-unit width only renders because
         # cairosvg ignores the effect; spec-compliant renderers (browsers,
@@ -56,29 +59,28 @@ def render_svg(
         # span-compensated, so plain scaling strokes render correctly
         # everywhere at the same visual weight as the reference's PNGs.
         parts.append(
-            f'<polyline points="{pts}" fill="none" stroke="{_color(i, len(edges))}" '
+            f'<polyline points="{pts}" fill="none" stroke="{color}" '
             f'stroke-width="{stroke:.6g}"/>')
         if mark_starts:
             parts.append(
                 f'<circle cx="{edge[0][0]:.6g}" cy="{edge[0][1]:.6g}" '
-                f'r="{stroke:.6g}" fill="{_color(i, len(edges))}"/>')
+                f'r="{stroke:.6g}" fill="{color}"/>')
     parts.append("</svg>")
     return "".join(parts)
 
 
 def render_svg_groups(groups: Sequence, **kwargs) -> str:
     """One SVG containing every group's edges, colored per group
-    (reference save_svg_groups: per-face exploded visualization)."""
+    (reference save_svg_groups: per-face exploded visualization). Colors
+    are passed per edge up front — the previous post-hoc string recolor
+    corrupted strokes whenever a group hue collided with a later edge's
+    placeholder hue."""
     flat, colors = [], []
     for gi, group in enumerate(groups):
         for edge_list in group:
             flat.append(edge_list)
-            colors.append(gi)
-    # reuse render_svg geometry handling; recolor by group
-    svg = render_svg(flat, mark_starts=False, **kwargs)
-    for i, gi in enumerate(colors):
-        svg = svg.replace(_color(i, len(flat)), _color(gi, len(groups)), 1)
-    return svg
+            colors.append(_color(gi, len(groups)))
+    return render_svg(flat, mark_starts=False, colors=colors, **kwargs)
 
 
 def save_svg(edges, path: str, **kwargs) -> None:

@@ -95,6 +95,7 @@ def generate(root: str, num: int, seed: int = 0, coedge: bool = True,
     os.makedirs(os.path.join(root, "json"), exist_ok=True)
     rng = np.random.default_rng(seed)
     names, all_stats, rejected = [], [], 0
+    consecutive_rejects = 0
     while len(names) < num:
         sample = random_sample(rng, coedge=coedge, no_face_type=no_face_type,
                                direction_token=direction_token, focus=focus,
@@ -102,7 +103,17 @@ def generate(root: str, num: int, seed: int = 0, coedge: bool = True,
         stats = sample_stats(sample, direction_token)
         if not accepts(stats, max_edges, max_faces, max_face_len, max_label_len):
             rejected += 1
+            consecutive_rejects += 1
+            if consecutive_rejects >= 10_000:
+                # unsatisfiable limits would otherwise spin forever with no
+                # output (e.g. --max_faces 5 when the smallest solid has 6)
+                raise RuntimeError(
+                    f"acceptance limits rejected {consecutive_rejects} "
+                    f"consecutive samples ({len(names)}/{num} accepted, "
+                    f"{rejected} rejected total) — loosen max_edges/"
+                    "max_faces/max_face_len/max_label_len")
             continue
+        consecutive_rejects = 0
         name = f"{len(names):08d}"
         with open(os.path.join(root, "json", f"{name}.json"), "w") as f:
             json.dump(sample, f)

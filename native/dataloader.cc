@@ -483,7 +483,11 @@ bool pack_parallel(const Value& faces, const TokenCfg& tok, int32_t L,
       }
     }
   }
-  for (int32_t r = row; r < L; ++r) label[r * T] = tok.len - 1;  // bare Other
+  // bare Other-type token on unused rows — must match pack_label_parallel's
+  // face_type_token(2, tok) (the reference's literal token.len - 1 is only
+  // the Other token for its 4-token table; for extended tables len-1 would
+  // be a direction token and the Python/native packers would diverge)
+  for (int32_t r = row; r < L; ++r) label[r * T] = tok.type_offset + 2;
   *num_faces = static_cast<int32_t>(faces.arr.size());
   return true;
 }

@@ -23,12 +23,15 @@ class TestAbiHandshake:
         # a library built from other sources (different ABI) must engage the
         # Python fallbacks rather than be called with the wrong layout
         monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_load_failed", False)
         monkeypatch.setattr(native, "FACEFORMER_NATIVE_ABI",
                             native.FACEFORMER_NATIVE_ABI + 1)
         with pytest.warns(UserWarning, match="ABI"):
             assert native.load() is None
+        assert native._load_failed  # memoized: no rebuild storm per sample
         monkeypatch.undo()
         native._lib = None
+        native._load_failed = False
         assert native.load() is not None  # real version binds again
 
 

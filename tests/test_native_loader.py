@@ -93,6 +93,20 @@ class TestParity:
         slow = ABCDataset.from_samples(samples, cfg)
         _assert_items_equal(fast, slow)
 
+    def test_parallel_extended_token_table(self, tmp_path, rng, tiny_model_cfg):
+        # 6-row token table (the direction_token layout): unused label rows
+        # must carry the Other face-type token, NOT tok.length-1 (= DIR1
+        # here) — the native packer once wrote the literal len-1 and
+        # silently diverged from pack_label_parallel on this table
+        samples = [random_sample(rng) for _ in range(6)]
+        cfg = dataclasses.replace(
+            tiny_model_cfg, token=TokenConfig(DIR0=4, DIR1=5, length=6))
+        root, split = _write_dataset(tmp_path, samples)
+        fast = ABCDatasetParallel(root, split, cfg)
+        assert fast._packed is not None
+        slow = ABCDatasetParallel.from_samples(samples, cfg)
+        _assert_items_equal(fast, slow)
+
     def test_raw_datas_lazy_but_correct(self, tmp_path, flavor_samples,
                                         tiny_model_cfg):
         root, split = _write_dataset(tmp_path, flavor_samples)
