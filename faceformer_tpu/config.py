@@ -198,8 +198,23 @@ def _merge_dataclass(obj: Any, overrides: Dict[str, Any], path: str = "") -> Any
 
 def _coerce(value: Any, annot: Any, current: Any) -> Any:
     """Coerce YAML/CLI values to the field's existing type."""
-    if isinstance(current, tuple) and isinstance(value, (list, tuple)):
-        return tuple(value)
+    if isinstance(current, tuple):
+        if isinstance(value, (list, tuple)):
+            return tuple(value)
+        if isinstance(value, str):
+            # CLI opts arrive as strings: accept a python-literal list
+            # ("['a.txt','b.txt']") or treat a bare scalar as a 1-tuple —
+            # storing the raw str would be iterated character-by-character
+            # downstream (e.g. datasets_test -> per-character split files)
+            try:
+                import ast
+                lit = ast.literal_eval(value)
+                if isinstance(lit, (list, tuple)):
+                    return tuple(lit)
+            except (ValueError, SyntaxError):
+                pass
+            return (value,)
+        return (value,)
     if isinstance(current, bool):
         if isinstance(value, str):
             return value.lower() in ("1", "true", "yes", "on")

@@ -73,6 +73,16 @@ def pack_label_single(faces_indices: Sequence, cfg: ModelConfig) -> Dict[str, np
                 face = _flatten(face)
             face_tokens = np.asarray(face, dtype=np.int32) + tok.length
         pos += 1
+        if pos + len(face_tokens) + 1 > cfg.label_seq_length:
+            # a clear error instead of a broadcast ValueError deep inside
+            # numpy: over-budget samples can reach packing because the
+            # reference's length filter counts 1+len(face) per face
+            # (filters/filter_length.py:22-24), which under-counts nested
+            # and direction-token faces
+            raise ValueError(
+                f"label sequence needs > {cfg.label_seq_length} tokens "
+                f"(face of {len(face_tokens)} tokens at position {pos}) — "
+                "raise token.len_label / label budget or filter the sample")
         label[pos : pos + len(face_tokens)] = face_tokens
         pos += len(face_tokens)
         label[pos] = tok.SEP

@@ -25,12 +25,17 @@ def view_feature(root: str, name: str, views=(1, 2, 3)) -> np.ndarray:
         path = os.path.join(root, "3view_png", f"{name}-{i}.png")
         img = cv2.imread(path)
         if img is None:
-            feature.append(np.ones(128 * 128) * 255)
+            feature.append(None)  # placeholder sized after the loop
             continue
         half = cv2.resize(img, (0, 0), fx=0.5, fy=0.5)
         gray = cv2.cvtColor(half, cv2.COLOR_BGR2GRAY)
         _, binary = cv2.threshold(gray, 254, 255, cv2.THRESH_BINARY)
         feature.append(binary.flatten())
+    # missing views get an all-white placeholder matching the loaded views'
+    # size (a hardcoded 128*128 only fits 256px renders; other --width/
+    # --height values would crash the np.stack in cluster_bin)
+    size = next((f.size for f in feature if f is not None), 128 * 128)
+    feature = [np.ones(size) * 255 if f is None else f for f in feature]
     return np.concatenate([np.asarray(f).flatten() for f in feature])
 
 
@@ -76,8 +81,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         else:
             final_bins += cluster_bin(args.root, clean, args.similarity_threshold)
 
-    # keep the smallest id per cluster (reference :85)
-    kept = sorted(min(b, key=int) for b in final_bins)
+    # keep the smallest id per cluster (reference :85). Dedup: overlapping
+    # topology bins can elect the same object from two bins, and a
+    # duplicated id would leak into multiple dataset splits downstream
+    kept = sorted({min(b, key=int) for b in final_bins})
     with open(args.out, "w") as f:
         json.dump(kept, f)
     print(f"{sum(len(b) for b in bins)} objects -> {len(kept)} unique")

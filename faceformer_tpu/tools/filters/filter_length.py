@@ -11,7 +11,15 @@ from typing import List, Optional, Sequence
 
 
 def sequence_length(faces_indices) -> int:
-    """[SOS] + per-face (tokens + SEP) with the final SEP as EOS."""
+    """[SOS] + per-face (tokens + SEP) with the final SEP as EOS.
+
+    Reference-literal count (filters/filter_length.py:22-24): 1+len(face)
+    per face. For nested no_face_type faces this counts LOOPS, and for
+    direction_token faces it misses the 2-tokens-per-pair packing — the
+    reference's shipped filtered_id_list.json was built with exactly this
+    count, so it is kept as the selection contract. True packed-budget
+    enforcement lives where it is exact: synthetic_data's acceptance
+    limits and pack_label_single's explicit budget error."""
     total = 1
     for face in faces_indices:
         total += 1 + len(face)

@@ -19,12 +19,16 @@ TYPES_OF_SURFS = {"Plane": 0, "Cylinder": 1, "Cone": 2, "Sphere": 3, "Torus": 4,
 
 
 def topology_feature(stat: dict) -> List[int]:
+    # unlisted types (OCC also produces Hyperbola/Parabola/Bezier/...)
+    # histogram under "Other" instead of KeyError-aborting the whole run —
+    # the reference indexes directly (filter_topology.py:47-48) but its
+    # Other entry makes the intended fallback clear
     curves_hist = [0] * len(TYPES_OF_CURVES)
     for curve in stat["curves"]:
-        curves_hist[TYPES_OF_CURVES[curve]] += 1
+        curves_hist[TYPES_OF_CURVES.get(curve, TYPES_OF_CURVES["Other"])] += 1
     surfs_hist = [0] * len(TYPES_OF_SURFS)
     for surf in stat["surfs"]:
-        surfs_hist[TYPES_OF_SURFS[surf]] += 1
+        surfs_hist[TYPES_OF_SURFS.get(surf, TYPES_OF_SURFS["Other"])] += 1
     return [stat["#edges"], stat["#parts"], stat["#sharp"], stat["#surfs"],
             *curves_hist, *surfs_hist]
 

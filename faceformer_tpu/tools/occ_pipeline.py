@@ -15,9 +15,10 @@ dataset/utils/TopoMapper.py):
   4. find sewn edges (an edge used twice within one face), remove them and
      merge their faces, merging newly-adjacent edge pairs when no third edge
      meets the shared vertex;
-  5. emit canonical JSON: edges sorted lexicographically, loops rolled to
-     min index, faces sorted by first index, enclosedness asserted, coedge
-     pairings recorded.
+  5. canonical JSON emission (edges sorted lexicographically, loops rolled
+     to min index, faces sorted by first index, enclosedness asserted, coedge
+     pairings recorded) lives in tools/prepare_data.py::assemble_json; this
+     module supplies the topology records it consumes.
 
 Camera conventions follow projection_utils.py: random spherical poses with
 focus 3-5 (perspective) or orthographic when focus == 0.
@@ -25,16 +26,12 @@ focus 3-5 (perspective) or orthographic when focus == 0.
 
 from __future__ import annotations
 
-import functools
-import json
 import os
 import signal
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-
-from faceformer_tpu.geometry.enclosedness import is_face_enclosed
 
 
 def require_occ():
@@ -99,15 +96,23 @@ def read_step_file(filename: str, timeout_s: int = 5, filter_num_shape: int = 10
 # ---------------------------------------------------------------------------
 
 
-def randnum(low, high):
-    return np.random.rand() * (high - low) + low
-
-
-def generate_random_camera_pos(seed=None):
+def generate_random_camera_pos(seed=None, rng=None):
     """Random spherical camera: focus 3-5, radius 1.25-1.5, elevation
-    22.5-67.5 deg (reference projection_utils.py:10-20)."""
-    if seed is not None:
-        np.random.seed(seed)
+    22.5-67.5 deg (reference projection_utils.py:10-20).
+
+    Documented deviation (PARITY.md): the reference reseeds the GLOBAL
+    np.random with the constant args.seed on every call
+    (projection_utils.py:11-12), so every shape — and every degenerate-
+    camera re-roll — draws the same camera, defeating the flag's purpose.
+    Pass an ``rng`` (np.random.Generator) for genuinely per-shape/per-
+    attempt cameras; a plain int ``seed`` reproduces a deterministic draw
+    for that seed (without touching global state)."""
+    if rng is None:
+        rng = np.random.default_rng(seed)
+
+    def randnum(low, high):
+        return float(rng.random()) * (high - low) + low
+
     focus = randnum(3, 5)
     radius = randnum(1.25, 1.5)
     phi = randnum(22.5, 67.5)
@@ -363,6 +368,15 @@ class TopoMapper:
                     face.remove_key(erec.key)
                 continue
             erec.dedge = discretize_compound(compound, self.tol)[0]
+            # documented deviation: the reference leaves dedge3d None here,
+            # so --discretize_last crashes its per-coedge path on the first
+            # reversed edge (Edge.py:29-30 does None[::-1]) — it only ever
+            # worked with --combine_coedge. Discretize the 3D curve
+            # directly so edges3d stays populated (sampling may differ
+            # from the projected-compound dedge; consumers use edges3d as
+            # standalone 3D ground truth, never zipped pointwise).
+            pts3d = discretize_edge(erec.edge, self.args.tol)
+            erec.dedge3d = [tuple(p) for p in project_points(pts3d, self.args)]
 
     # -- sewn edges -----------------------------------------------------------------
 

@@ -64,6 +64,15 @@ def test_unknown_key_rejected():
         load_config(opts=["model.bogus", "1"])
 
 
+def test_tuple_field_from_cli_string():
+    # a bare scalar wraps into a 1-tuple (a raw str would be iterated
+    # character-by-character downstream), a python-literal list parses
+    cfg = load_config(opts=["datasets_test", "other.txt"])
+    assert cfg.datasets_test == ("other.txt",)
+    cfg = load_config(opts=["datasets_test", "['a.txt', 'b.txt']"])
+    assert cfg.datasets_test == ("a.txt", "b.txt")
+
+
 def test_roundtrip_dict():
     cfg = load_config(opts=["model.num_lines", "216"])
     again = config_from_dict(config_to_dict(cfg))

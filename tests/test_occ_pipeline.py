@@ -51,6 +51,20 @@ class TestCamera:
             assert 3.0 <= focus <= 5.0
             assert 1.25 <= np.linalg.norm(pose[:3, 3]) <= 1.5
 
+    def test_random_camera_rng_advances(self):
+        # consecutive draws from one stream must differ (the reference
+        # reseeds global np.random with a constant per call, so every
+        # shape/re-roll got the identical camera — documented deviation)
+        rng = np.random.default_rng(7)
+        draws = [generate_random_camera_pos(rng=rng) for _ in range(3)]
+        poses = [p for _, p in draws]
+        assert not np.allclose(poses[0], poses[1])
+        assert not np.allclose(poses[1], poses[2])
+        # while a bare int seed stays deterministic
+        f1, p1 = generate_random_camera_pos(11)
+        f2, p2 = generate_random_camera_pos(11)
+        assert f1 == f2 and np.array_equal(p1, p2)
+
 
 # ---------------------------------------------------------------------------
 # record bookkeeping

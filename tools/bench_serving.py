@@ -92,6 +92,7 @@ def main(argv=None):
     for name, kw in variants.items():
         fns[name] = jax.jit(lambda p, b, _kw=kw: greedy_decode_parallel(
             p, cfg.model, b, precision=cfg.decode.precision,
+            anchor_mode=cfg.decode.anchor_mode,  # match deployed serving
             early_stop=True, **_kw)["predict"])
 
     cases = [(v, "corpus") for v in variants] + [("fused", "sorted")]

@@ -22,6 +22,7 @@ import argparse
 import json
 import os
 import sys
+import zlib
 from functools import partial
 
 import numpy as np
@@ -189,9 +190,21 @@ def render_shape(name: str, args) -> None:
                      width=args.width, height=args.height)
 
         if args.random_camera:
+            # per-shape, per-attempt cameras. Documented deviation: the
+            # reference reseeds global np.random with the constant
+            # args.seed before every draw (projection_utils.py:11-12), so
+            # every shape gets the SAME camera and a degenerate camera can
+            # never be re-rolled; it also falls through to the final
+            # attempt with the last failed pose still set. Here each shape
+            # derives its own stream from (seed, name) and the fallback
+            # restores the deterministic --location/--direction camera.
+            shape_key = (int(name) if name.isdigit()
+                         else zlib.crc32(name.encode()))
+            rng = np.random.default_rng(
+                np.random.SeedSequence([args.seed, shape_key]))
             for _ in range(5):  # re-roll degenerate cameras (reference :305-319)
                 try:
-                    focus, pose = occ.generate_random_camera_pos(args.seed)
+                    focus, pose = occ.generate_random_camera_pos(rng=rng)
                     proj.pose = pose
                     if args.focus != 0:
                         proj.focus = focus
@@ -199,6 +212,8 @@ def render_shape(name: str, args) -> None:
                     return
                 except Exception:
                     continue
+            proj.pose = None  # restore the default camera for the fallback
+            proj.focus = args.focus
         emit()
     except Exception as exc:
         print(f"{name} received unknown error", exc)
