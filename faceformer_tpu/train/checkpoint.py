@@ -78,6 +78,20 @@ class CheckpointManager:
 
         if not frozen:
             tree = jax.tree.map(np.asarray, CheckpointManager._freeze(tree))
+        if jax.process_count() > 1:
+            # multi-process runs: the manager lives on the writer process
+            # only (trainer.fit gates it), so scope orbax's coordination
+            # barriers to THIS process — the default checkpointer blocks on
+            # a cross-process barrier the non-writers never join (verified:
+            # a lone-writer PyTreeCheckpointer.save hangs under
+            # jax.distributed). Same on-disk format either way.
+            opts = ocp.options.MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()})
+            with ocp.Checkpointer(ocp.PyTreeCheckpointHandler(),
+                                  multiprocessing_options=opts) as ckptr:
+                ckptr.save(os.path.abspath(path), tree, force=True)
+            return
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(path), tree, force=True)
 

@@ -207,9 +207,14 @@ class Harness:
             max_epochs: Optional[int] = None) -> Dict[str, Any]:
         cfg = self.cfg
         state = state or self.init_state()
-        logger = MetricsLogger(self.log_dir)
+        # multi-process runs: the train state is replicated (every host
+        # computes identical values), so exactly one process writes logs
+        # and checkpoints — concurrent writers would race on the same files
+        is_writer = jax.process_index() == 0
+        logger = MetricsLogger(self.log_dir) if is_writer else None
         ckpts = CheckpointManager(
-            os.path.join(self.log_dir, "checkpoints"), top_k=cfg.trainer.save_top_k)
+            os.path.join(self.log_dir, "checkpoints"),
+            top_k=cfg.trainer.save_top_k) if is_writer else None
         train_ds = self.dataset("train")
         step_fn = self.train_step()
         impl = {"threefry": "threefry2x32"}.get(
@@ -228,10 +233,11 @@ class Harness:
             # costly on network-tunneled devices)
             nonlocal pending
             if pending is not None and pending[0] % cfg.trainer.log_every_n_steps == 0:
-                logger.log_scalars(
-                    pending[0],
-                    {"train_loss": float(pending[1]),
-                     "train_cls_acc": float(pending[2])})
+                if logger is not None:
+                    logger.log_scalars(
+                        pending[0],
+                        {"train_loss": float(pending[1]),
+                         "train_cls_acc": float(pending[2])})
                 if clear:
                     pending = None
         for epoch in range(state["epoch"], max_epochs):
@@ -268,12 +274,22 @@ class Harness:
             # Saving every epoch pulls the full param+opt tree device->host;
             # on the tunneled TPU that cost 52 s against a 2.6 s epoch.
             if (epoch + 1) % cfg.trainer.checkpoint_period == 0:
-                results = self.validate(params, logger=logger, step=step)
-                ckpts.save(tree, cfg, epoch + 1,
-                           metric_value=results["valid_precision"])
-            elif epoch + 1 == max_epochs:
+                if jax.process_count() > 1:
+                    # eval is single-host-only (see _eval_batches): save an
+                    # unscored checkpoint so long multi-process runs keep
+                    # their resume points; run valid/test on one host after
+                    if is_writer:
+                        print("multi-process run: skipping validation "
+                              "(single-host-only); saving unscored checkpoint")
+                        ckpts.save(tree, cfg, epoch + 1)
+                else:
+                    results = self.validate(params, logger=logger, step=step)
+                    ckpts.save(tree, cfg, epoch + 1,
+                               metric_value=results["valid_precision"])
+            elif epoch + 1 == max_epochs and is_writer:
                 ckpts.save(tree, cfg, epoch + 1)
-        logger.close()
+        if logger is not None:
+            logger.close()
         return state
 
     def _eval_batches(self, split: str):
