@@ -140,6 +140,29 @@ def shard_opt_state(opt_state, params, mesh: Mesh, shard_model: bool = False):
     return jax.tree.map(place, opt_state, is_leaf=is_param_tree_or_leaf)
 
 
+def shard_global_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Move a batch every host holds IN FULL onto the mesh (eval loops: all
+    hosts iterate the same split). Each process contributes its own row
+    slice as the process-local block, so the assembled global array equals
+    the host batch bit-for-bit. Row count must divide evenly by the process
+    count (eval batch sizes are rounded to the data-axis width, which is a
+    multiple of it)."""
+    pc, pi = jax.process_count(), jax.process_index()
+    if pc == 1:
+        return shard_batch(batch, mesh)
+    sh = batch_sharding(mesh)
+    out = {}
+    for key, val in batch.items():
+        if isinstance(val, (list, str)):
+            out[key] = val
+        else:
+            arr = np.asarray(val)
+            per = arr.shape[0] // pc
+            out[key] = jax.make_array_from_process_local_data(
+                sh, arr[pi * per:(pi + 1) * per])
+    return out
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Move a host batch onto the mesh, batch axis over `data`. Non-array
     fields (names) stay on host.

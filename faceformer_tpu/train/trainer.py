@@ -27,7 +27,7 @@ from faceformer_tpu.data.batching import iter_batches
 from faceformer_tpu.data.dataset import ABCDataset, ABCDatasetParallel
 from faceformer_tpu.models import MODEL_REGISTRY
 from faceformer_tpu.parallel.mesh import (
-    make_mesh, shard_batch, shard_opt_state, shard_params)
+    make_mesh, shard_batch, shard_global_batch, shard_opt_state, shard_params)
 from faceformer_tpu.train.checkpoint import CheckpointManager, load_checkpoint
 from faceformer_tpu.train.logging import MetricsLogger
 from faceformer_tpu.train.loss import pointer_cross_entropy
@@ -274,16 +274,10 @@ class Harness:
             # Saving every epoch pulls the full param+opt tree device->host;
             # on the tunneled TPU that cost 52 s against a 2.6 s epoch.
             if (epoch + 1) % cfg.trainer.checkpoint_period == 0:
-                if jax.process_count() > 1:
-                    # eval is single-host-only (see _eval_batches): save an
-                    # unscored checkpoint so long multi-process runs keep
-                    # their resume points; run valid/test on one host after
-                    if is_writer:
-                        print("multi-process run: skipping validation "
-                              "(single-host-only); saving unscored checkpoint")
-                        ckpts.save(tree, cfg, epoch + 1)
-                else:
-                    results = self.validate(params, logger=logger, step=step)
+                # validate is a collective (every process decodes its rows
+                # and joins the metric allreduce); only the writer saves
+                results = self.validate(params, logger=logger, step=step)
+                if is_writer:
                     ckpts.save(tree, cfg, epoch + 1,
                                metric_value=results["valid_precision"])
             elif epoch + 1 == max_epochs and is_writer:
@@ -293,14 +287,6 @@ class Harness:
         return state
 
     def _eval_batches(self, split: str):
-        if jax.process_count() > 1:
-            # eval pulls full prediction grids to every host
-            # (np.asarray on a cross-process-sharded array is an error) —
-            # stripe the split per host + allreduce metric means before
-            # enabling this. Training DOES support multi-process striping.
-            raise NotImplementedError(
-                "multi-process eval is not supported; run valid/test on a "
-                "single host (any number of local devices)")
         ds = self.dataset(split)
         batch_size = min(self.cfg.batch_size_valid, max(len(ds), 1))
         # round batch to a multiple of the data axis for even sharding
@@ -317,6 +303,55 @@ class Harness:
             items = [ds[i] for i in order]
         return ds, iter_batches(items, batch_size, pad_to_full=True)
 
+    # -- multi-process eval plumbing ------------------------------------------------
+    #
+    # Every host iterates the SAME eval batches (the split is on every
+    # host's disk); shard_global_batch has each process contribute its own
+    # row slice, decode runs as one global SPMD program, each host pulls
+    # back only ITS rows (its addressable shards) and scores them, and the
+    # final means are allreduced. Single-process runs take the plain path.
+
+    @staticmethod
+    def _local_rows(out_grid, n: int):
+        """Pull this process's rows of a data-sharded decode output:
+        (predict_rows, row_slice). All rows in single-process runs."""
+        if jax.process_count() == 1:
+            return np.asarray(out_grid), slice(0, n)
+        shards = sorted(out_grid.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        local = np.concatenate([np.asarray(s.data) for s in shards])
+        per = n // jax.process_count()
+        start = jax.process_index() * per
+        return local, slice(start, start + per)
+
+    def _eval_decode(self, decode, params, batch):
+        """Decode one eval batch; returns (predict_rows, row_slice) local
+        to this process — all rows in single-process runs."""
+        device_batch = shard_global_batch(_device_batch(batch), self.mesh)
+        out = decode(params, device_batch)
+        return self._local_rows(out, len(batch["sample_valid"]))
+
+    @staticmethod
+    def _global_mean(values: List[float]) -> float:
+        """Mean over all processes' per-sample values. Collective: every
+        process must call it the same number of times in the same order."""
+        if jax.process_count() == 1:
+            return float(np.mean(values)) if values else 0.0
+        from jax.experimental import multihost_utils
+
+        part = np.array([np.sum(values), len(values)], np.float64)
+        total = np.asarray(multihost_utils.process_allgather(part)).sum(axis=0)
+        return float(total[0] / total[1]) if total[1] else 0.0
+
+    @staticmethod
+    def _global_sum(value: float) -> float:
+        if jax.process_count() == 1:
+            return float(value)
+        from jax.experimental import multihost_utils
+
+        part = np.array([value], np.float64)
+        return float(np.asarray(multihost_utils.process_allgather(part)).sum())
+
     def validate(self, params, logger: Optional[MetricsLogger] = None,
                  step: int = 0) -> Dict[str, float]:
         """Validation loop (reference: trainer.py:91-102)."""
@@ -325,11 +360,11 @@ class Harness:
         agg: Dict[str, List[float]] = {}
         text_dumps = 0
         for batch in batches:
-            predict = np.asarray(
-                decode(params, shard_batch(_device_batch(batch), self.mesh)))
-            raw = [ds.raw_datas[i] for i in batch["id"]]
+            predict, rows = self._eval_decode(decode, params, batch)
+            raw = [ds.raw_datas[i] for i in batch["id"][rows]]
             out = self.metrics_engine.evaluate_batch(
-                predict, np.asarray(batch["label"]), raw, batch["sample_valid"])
+                predict, np.asarray(batch["label"])[rows], raw,
+                batch["sample_valid"][rows])
             for key in ("precision", "recall", "type_acc", "accuracy",
                         "type_acc_coedge_seq"):
                 agg.setdefault(key, []).extend(out[key])
@@ -344,19 +379,18 @@ class Harness:
                     text_dumps += 1
                     if text_dumps >= 4:
                         break
-        def mean(key):
-            return float(np.mean(agg[key])) if agg.get(key) else 0.0
-
         results = {
-            "valid_precision": mean("precision"),
-            "valid_recall": mean("recall"),
-            "valid_type_acc": mean("type_acc"),
-            "valid_accuracy": mean("accuracy"),
-            "valid_type_acc_coedge_seq": mean("type_acc_coedge_seq"),
+            "valid_precision": self._global_mean(agg.get("precision", [])),
+            "valid_recall": self._global_mean(agg.get("recall", [])),
+            "valid_type_acc": self._global_mean(agg.get("type_acc", [])),
+            "valid_accuracy": self._global_mean(agg.get("accuracy", [])),
+            "valid_type_acc_coedge_seq": self._global_mean(
+                agg.get("type_acc_coedge_seq", [])),
         }
         if logger is not None:
             logger.log_scalars(step, results)
-        print(" ".join(f"{k}={v:.4f}" for k, v in results.items()))
+        if jax.process_index() == 0:
+            print(" ".join(f"{k}={v:.4f}" for k, v in results.items()))
         return results
 
     def test(self, params, json_dir: Optional[str] = None) -> Dict[str, float]:
@@ -371,7 +405,7 @@ class Harness:
         total_time, sample_count = 0.0, 0
         warmed = False
         for batch in batches:
-            device_batch = shard_batch(_device_batch(batch), self.mesh)
+            device_batch = shard_global_batch(_device_batch(batch), self.mesh)
             if not warmed:
                 # untimed warm-up on the first batch: the first call pays
                 # XLA compilation (tens of seconds at flagship dims) plus
@@ -382,20 +416,22 @@ class Harness:
                 jax.block_until_ready(decode(params, device_batch))
                 warmed = True
             t0 = time.perf_counter()
-            predict = jax.block_until_ready(decode(params, device_batch))
+            out_grid = jax.block_until_ready(decode(params, device_batch))
             total_time += time.perf_counter() - t0
-            sample_count += int(np.sum(batch["sample_valid"]))
-            predict = np.asarray(predict)
+            predict, rows = self._local_rows(out_grid, len(batch["sample_valid"]))
+            sample_valid = batch["sample_valid"][rows]
+            sample_count += int(np.sum(sample_valid))
 
-            raw = [ds.raw_datas[i] for i in batch["id"]]
+            raw = [ds.raw_datas[i] for i in batch["id"][rows]]
             out = self.metrics_engine.evaluate_batch(
-                predict, np.asarray(batch["label"]), raw, batch["sample_valid"])
+                predict, np.asarray(batch["label"])[rows], raw, sample_valid)
             for key in ("precision", "recall", "type_acc"):
                 agg.setdefault(key, []).extend(out[key])
 
-            valid_idx = [i for i, ok in enumerate(batch["sample_valid"]) if ok]
+            names = batch["name"][rows.start:rows.stop]
+            valid_idx = [i for i, ok in enumerate(sample_valid) if ok]
             for res_i, batch_i in enumerate(valid_idx):
-                name = os.path.splitext(os.path.basename(batch["name"][batch_i]))[0]
+                name = os.path.splitext(os.path.basename(names[batch_i]))[0]
                 record = {
                     "edges": raw[batch_i]["edges"],
                     "dominant_directions": raw[batch_i]["dominant_directions"],
@@ -405,27 +441,28 @@ class Harness:
                 with open(os.path.join(json_dir, f"{name}.json"), "w") as f:
                     json.dump(record, f, cls=NumpyJSONEncoder)
 
-        def _mean(key):  # empty test split -> 0.0, not a KeyError
-            return float(np.mean(agg[key])) if agg.get(key) else 0.0
-
+        global_count = int(self._global_sum(sample_count))
         results = {
-            "test_precision": _mean("precision"),
-            "test_recall": _mean("recall"),
-            "test_type_acc": _mean("type_acc"),
-            "avg_time_per_sample": total_time / max(sample_count, 1),
-            "num_samples": sample_count,
+            "test_precision": self._global_mean(agg.get("precision", [])),
+            "test_recall": self._global_mean(agg.get("recall", [])),
+            "test_type_acc": self._global_mean(agg.get("type_acc", [])),
+            # wall time covers the GLOBAL step on every host (decode is one
+            # collective SPMD program), so divide by the global sample count
+            "avg_time_per_sample": total_time / max(global_count, 1),
+            "num_samples": global_count,
         }
-        print("Avg Time", results["avg_time_per_sample"], "seconds.")
-        print(" ".join(f"{k}={v:.4f}" for k, v in results.items()
-                       if k != "num_samples"))
-        # persist: results.json + metrics.jsonl, so quality claims are
-        # auditable from checked-in artifacts (not just stdout)
-        os.makedirs(self.log_dir, exist_ok=True)
-        with open(os.path.join(self.log_dir, "results.json"), "w") as f:
-            json.dump(results, f, indent=2)
-        logger = MetricsLogger(self.log_dir)
-        logger.log_scalars(0, {k: v for k, v in results.items()})
-        logger.close()
+        if jax.process_index() == 0:
+            print("Avg Time", results["avg_time_per_sample"], "seconds.")
+            print(" ".join(f"{k}={v:.4f}" for k, v in results.items()
+                           if k != "num_samples"))
+            # persist: results.json + metrics.jsonl, so quality claims are
+            # auditable from checked-in artifacts (not just stdout)
+            os.makedirs(self.log_dir, exist_ok=True)
+            with open(os.path.join(self.log_dir, "results.json"), "w") as f:
+                json.dump(results, f, indent=2)
+            logger = MetricsLogger(self.log_dir)
+            logger.log_scalars(0, {k: v for k, v in results.items()})
+            logger.close()
         return results
 
     # -- checkpoints ---------------------------------------------------------------

@@ -49,7 +49,11 @@ def main() -> None:
         "model.dropout", "0.0",    # keep losses order-invariant across runs
     ])
     harness = Harness(cfg)
-    harness.fit()
+    state = harness.fit()  # checkpoint_period=1 -> multi-process validate runs
+    results = harness.test(state["params"])  # multi-process test loop
+    print("TEST_RESULTS "
+          + f"{results['test_precision']:.6f} {results['test_recall']:.6f} "
+          + f"{results['num_samples']}", flush=True)
     print(f"WORKER_OK proc={proc_id} global_devices={jax.device_count()}",
           flush=True)
 

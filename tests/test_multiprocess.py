@@ -55,7 +55,9 @@ def _losses(log_dir: str):
 
 def test_two_process_fit_matches_single_process(tmp_path):
     root = str(tmp_path / "corpus")
-    generate(root, num=16, seed=3)
+    # wide splits so eval actually spans batches/processes (test split 9-10
+    # samples); train stays 16 = 2 global batches of 8
+    generate(root, num=32, seed=3, split=(0.5, 0.2, 0.3))
 
     env = _worker_env()
     port = _free_port()
@@ -98,3 +100,24 @@ def test_two_process_fit_matches_single_process(tmp_path):
     # exactly one writer: the checkpoint dir exists once, written by proc 0
     ckpt_dir = str(tmp_path / "mh" / "logs" / "mh" / "v0" / "checkpoints")
     assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+
+    # multi-process test(): every process reports the same global metrics,
+    # equal to the single-process run's (per-sample decode is row-invariant
+    # under retirement, and the allreduced means cover the same 16 samples)
+    def _test_line(out):
+        line = [l for l in out.splitlines() if l.startswith("TEST_RESULTS")][0]
+        vals = line.split()[1:]
+        return float(vals[0]), float(vals[1]), int(vals[2])
+
+    t0, t1 = _test_line(outs[0]), _test_line(outs[1])
+    ts = _test_line(sp.stdout)
+    assert t0 == t1
+    assert t0[2] == ts[2] > 1  # the whole test split, counted once
+    np.testing.assert_allclose(t0[0], ts[0], atol=1e-6)
+    np.testing.assert_allclose(t0[1], ts[1], atol=1e-6)
+
+    # prediction JSONs: the two processes wrote disjoint row sets that
+    # together cover the whole split
+    json_dir = str(tmp_path / "mh" / "logs" / "mh" / "v0" / "json")
+    sp_dir = str(tmp_path / "sp" / "logs" / "sp" / "v0" / "json")
+    assert sorted(os.listdir(json_dir)) == sorted(os.listdir(sp_dir))
