@@ -92,12 +92,13 @@ class TestFlashInModel:
             out = SurfaceFormerParallel.forward_train(p, tiny_model_cfg, batch)
             return pointer_cross_entropy(out, tiny_model_cfg.token)[0]
 
-        g_base = jax.grad(loss_fn)(params)
-        ops.enable(True)
         try:
+            ops.enable(False)  # kernels-off baseline, even on TPU
+            g_base = jax.grad(loss_fn)(params)
+            ops.enable(True)
             g_flash = jax.grad(loss_fn)(params)
         finally:
-            ops.enable(False)
+            ops.enable(None)  # restore the platform default for later tests
         for (path, a), (_, b) in zip(
             jax.tree_util.tree_flatten_with_path(g_base)[0],
             jax.tree_util.tree_flatten_with_path(g_flash)[0],

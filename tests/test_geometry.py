@@ -143,11 +143,15 @@ class TestFixtures:
         sample = build_sample(SOLID_BUILDERS[kind](), theta=70.0, phi=30.0)
         edges = sample["edges"]
         pairings = sample["pairings"]
-        # pairings must cover every edge exactly once as lower or upper twin
+        # pairings must be a PERFECT MATCHING: every edge exactly once as
+        # lower or upper twin (len == E/2 rules out chained or duplicate
+        # entries that the coverage check alone would accept)
+        assert len(pairings) == len(edges) // 2
         paired = set()
         for i_str, j in pairings.items():
             i = int(i_str)
             assert edges[i] == edges[j][::-1]
+            assert i < j  # lower index keys its twin, each pair stored once
             paired.add(i)
             paired.add(j)
         assert paired == set(range(len(edges)))

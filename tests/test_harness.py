@@ -49,9 +49,17 @@ def tiny_harness(tiny_cfg, tiny_model_cfg, tmp_path_factory):
     return harness
 
 
+@pytest.fixture(scope="module")
+def fitted_state(tiny_harness):
+    # fit ONCE for the module: the roundtrip/eval tests below consume the
+    # checkpoints this writes, so they stay order-independent (selecting a
+    # single test still runs the fit via this fixture)
+    return tiny_harness.fit(max_epochs=2)
+
+
 class TestHarness:
-    def test_fit_and_eval(self, tiny_harness):
-        state = tiny_harness.fit(max_epochs=2)
+    def test_fit_and_eval(self, tiny_harness, fitted_state):
+        state = fitted_state
         assert state["epoch"] == 2
         assert state["step"] == 4  # 8 samples / batch 4 * 2 epochs
         # checkpoints written: last + top-k
@@ -60,7 +68,7 @@ class TestHarness:
         index = json.load(open(os.path.join(ckpt_dir, "index.json")))
         assert index["top"], "top-k checkpoint missing"
 
-        results = tiny_harness.test(state["params"])
+        results = tiny_harness.test(fitted_state["params"])
         assert 0.0 <= results["test_precision"] <= 1.0
         assert results["avg_time_per_sample"] > 0
         json_dir = os.path.join(tiny_harness.log_dir, "json")
@@ -82,7 +90,7 @@ class TestHarness:
         state = harness.fit(max_epochs=1)
         assert state["epoch"] == 1
 
-    def test_checkpoint_roundtrip(self, tiny_harness):
+    def test_checkpoint_roundtrip(self, tiny_harness, fitted_state):
         ckpt_dir = os.path.join(tiny_harness.log_dir, "checkpoints")
         state = tiny_harness.load(os.path.join(ckpt_dir, "last"))
         assert state["params"] is not None

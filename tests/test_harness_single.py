@@ -45,15 +45,20 @@ def single_harness(single_cfg, tiny_model_cfg, tmp_path_factory):
     return harness
 
 
+@pytest.fixture(scope="module")
+def single_fitted(single_harness):
+    # fit ONCE per module so the resume test below is order-independent
+    return single_harness.fit(max_epochs=2)
+
+
 class TestSingleSeqHarness:
-    def test_fit_eval_test(self, single_harness):
-        state = single_harness.fit(max_epochs=2)
-        results = single_harness.test(state["params"])
+    def test_fit_eval_test(self, single_harness, single_fitted):
+        results = single_harness.test(single_fitted["params"])
         assert 0.0 <= results["test_precision"] <= 1.0
         json_dir = os.path.join(single_harness.log_dir, "json")
         assert len(os.listdir(json_dir)) == 2
 
-    def test_resume_from_checkpoint(self, single_harness):
+    def test_resume_from_checkpoint(self, single_harness, single_fitted):
         ckpt = os.path.join(single_harness.log_dir, "checkpoints", "last")
         state = single_harness.load(ckpt)
         assert state["epoch"] == 2  # restored from the checkpoint tree

@@ -100,17 +100,22 @@ class TestFaceMetrics:
         assert out["precision"] == 1.0
         assert out["recall"] == 1.0
 
-    def test_half_wrong_precision(self, cfg):
+    def test_corrupted_row_cannot_score_perfect(self, cfg):
         sample = build_sample(make_box(), theta=35.0, phi=40.0)
         packed = pack_label_parallel(sample["faces_indices"], cfg)
         predicts = packed["label"].copy()
-        # corrupt the first rotation row into a non-enclosed face
-        first_edges = predicts[0][predicts[0] >= 4]
-        predicts[0, 1] = (first_edges[0] - 4 + 7) % len(sample["edges"]) + 4
+        # corrupting ONE rotation row is metric-invisible by design (the
+        # face survives via its other rotations after the enclosedness
+        # filter — reference semantics); corrupt EVERY row's second token
+        # so whole faces break or mutate and the degradation must register
+        n_edges = len(sample["edges"])
+        rows = predicts[:, 1] >= 4
+        predicts[rows, 1] = (predicts[rows, 1] - 4 + 7) % n_edges + 4
         engine = FaceMetrics(PostProcessConfig(is_coedge=True), TOK)
+        clean = engine.evaluate_sample(packed["label"], packed["label"], sample)
         out = engine.evaluate_sample(predicts, packed["label"], sample)
-        assert out["recall"] <= 1.0
-        assert 0.0 <= out["precision"] <= 1.0
+        assert clean["precision"] == clean["recall"] == 1.0
+        assert out["precision"] < 1.0 or out["recall"] < 1.0
 
     def test_empty_prediction_zeroes(self, cfg):
         sample = build_sample(make_box(), theta=35.0, phi=40.0)

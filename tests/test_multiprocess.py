@@ -62,11 +62,32 @@ def test_two_process_fit_matches_single_process(tmp_path):
     env = _worker_env()
     port = _free_port()
 
-    def run(args, cwd):
-        return subprocess.Popen([sys.executable, WORKER, *args],
-                                cwd=cwd, env=env,
-                                stdout=subprocess.PIPE,
-                                stderr=subprocess.STDOUT, text=True)
+    def run(args, cwd, log_path):
+        # file-backed stdout: PIPE + sequential communicate() can deadlock
+        # (one coordinated worker blocks on a full pipe while the other is
+        # being drained), and a timeout must not orphan live workers
+        f = open(log_path, "w")
+        p = subprocess.Popen([sys.executable, WORKER, *args],
+                             cwd=cwd, env=env, stdout=f,
+                             stderr=subprocess.STDOUT, text=True)
+        p._log_path, p._log_file = log_path, f
+        return p
+
+    def finish(procs, timeout=540):
+        outs = []
+        try:
+            for p in procs:
+                p.wait(timeout=timeout)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+                p._log_file.close()
+        for p in procs:
+            with open(p._log_path) as f:
+                outs.append(f.read())
+        return outs
 
     # logs land under <cwd>/logs/<name>/<version>; run from tmp_path so the
     # repo tree stays clean
@@ -74,8 +95,9 @@ def test_two_process_fit_matches_single_process(tmp_path):
     os.makedirs(str(tmp_path / "sp"), exist_ok=True)
     # 2 processes x 2 local devices, 4 rows per host -> global batch 8
     procs = [run([str(i), "2", str(port), root, "mh", "v0", "2", "4"],
-                 cwd=str(tmp_path / "mh")) for i in range(2)]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+                 cwd=str(tmp_path / "mh"), log_path=str(tmp_path / f"mh{i}.log"))
+             for i in range(2)]
+    outs = finish(procs)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert "WORKER_OK" in out
@@ -83,12 +105,10 @@ def test_two_process_fit_matches_single_process(tmp_path):
 
     # single-process reference: 1 process x 4 local devices, batch 8 — the
     # same global mesh width and the same global batch multiset
-    sp = subprocess.run(
-        [sys.executable, WORKER, "0", "1", str(_free_port()), root,
-         "sp", "v0", "4", "8"],
-        cwd=str(tmp_path / "sp"), env=env, timeout=540,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-    assert sp.returncode == 0, sp.stdout[-3000:]
+    sp = run(["0", "1", str(_free_port()), root, "sp", "v0", "4", "8"],
+             cwd=str(tmp_path / "sp"), log_path=str(tmp_path / "sp.log"))
+    sp_out = finish([sp])[0]
+    assert sp.returncode == 0, sp_out[-3000:]
 
     mh = _losses(str(tmp_path / "mh" / "logs" / "mh" / "v0"))
     ref = _losses(str(tmp_path / "sp" / "logs" / "sp" / "v0"))
@@ -110,7 +130,7 @@ def test_two_process_fit_matches_single_process(tmp_path):
         return float(vals[0]), float(vals[1]), int(vals[2])
 
     t0, t1 = _test_line(outs[0]), _test_line(outs[1])
-    ts = _test_line(sp.stdout)
+    ts = _test_line(sp_out)
     assert t0 == t1
     assert t0[2] == ts[2] > 1  # the whole test split, counted once
     np.testing.assert_allclose(t0[0], ts[0], atol=1e-6)

@@ -48,12 +48,15 @@ class TestWiredIntoModel:
         ds = ABCDatasetParallel.from_samples(samples, tiny_model_cfg)
         batch = collate([ds[0]])
         params = SurfaceFormerParallel.init(jax.random.PRNGKey(0), tiny_model_cfg)
-        base = SurfaceFormerParallel.forward_train(params, tiny_model_cfg, batch)
-        ops.enable(True)
         try:
+            # pin kernels OFF for the baseline (on TPU the default is ON,
+            # which would make the comparison kernels-vs-kernels)
+            ops.enable(False)
+            base = SurfaceFormerParallel.forward_train(params, tiny_model_cfg, batch)
+            ops.enable(True)
             fused = SurfaceFormerParallel.forward_train(params, tiny_model_cfg, batch)
         finally:
-            ops.enable(False)
+            ops.enable(None)  # restore the platform default for later tests
         np.testing.assert_allclose(
             np.asarray(fused["pointer"]), np.asarray(base["pointer"]), atol=3e-5)
 
@@ -70,11 +73,14 @@ class TestWiredIntoModel:
         ds = ABCDatasetParallel.from_samples(samples, tiny_model_cfg)
         batch = collate([ds[0]])
         params = SurfaceFormerParallel.init(jax.random.PRNGKey(3), tiny_model_cfg)
-        base = greedy_decode_parallel(params, tiny_model_cfg, batch, mode="causal_cache")
-        ops.enable(True)
         try:
-            fused = greedy_decode_parallel(params, tiny_model_cfg, batch, mode="causal_cache")
+            ops.enable(False)  # kernels-off baseline, even on TPU
+            base = greedy_decode_parallel(params, tiny_model_cfg, batch,
+                                          mode="causal_cache")
+            ops.enable(True)
+            fused = greedy_decode_parallel(params, tiny_model_cfg, batch,
+                                           mode="causal_cache")
         finally:
-            ops.enable(False)
+            ops.enable(None)  # restore the platform default for later tests
         np.testing.assert_array_equal(
             np.asarray(fused["predict"]), np.asarray(base["predict"]))

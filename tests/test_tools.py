@@ -51,11 +51,14 @@ class TestIntegrityCheck:
         name = sorted(os.listdir(os.path.join(dataset_root, "json")))[0]
         with open(os.path.join(dataset_root, "json", name)) as f:
             data = json.load(f)
-        # swap two indices inside a face loop to break the chain
+        # swap two indices inside a face loop to break the chain; without a
+        # >=3-edge loop the sample stays pristine and asserting it invalid
+        # would blame the checker for a fixture quirk
         entry = data["faces_indices"][0]
         loops = entry[1] if isinstance(entry[0], int) else entry
-        if len(loops[0]) >= 3:
-            loops[0][0], loops[0][1] = loops[0][1], loops[0][0]
+        if len(loops[0]) < 3:
+            pytest.skip("first face's first loop too short to corrupt")
+        loops[0][0], loops[0][1] = loops[0][1], loops[0][0]
         os.makedirs(tmp_path / "json")
         bad_path = tmp_path / "json" / name
         with open(bad_path, "w") as f:
