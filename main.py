@@ -38,12 +38,17 @@ def main() -> None:
         state = harness.load(args.test_ckpt)
         harness.test(state["params"])
     elif args.valid_ckpt:
+        import jax
+
         from faceformer_tpu.train.logging import MetricsLogger
 
         state = harness.load(args.valid_ckpt)
-        logger = MetricsLogger(harness.log_dir)
+        # one writer in multi-process runs (validate itself is collective)
+        logger = (MetricsLogger(harness.log_dir)
+                  if jax.process_index() == 0 else None)
         harness.validate(state["params"], logger=logger)
-        logger.close()
+        if logger is not None:
+            logger.close()
     elif args.resume_ckpt:
         state = harness.load(args.resume_ckpt)
         harness.fit(state)
