@@ -80,6 +80,31 @@ class TestEnclosedness:
         loops = is_face_enclosed(SQUARE_EDGES, [(0, 0), (1, 0), (2, 0), (3, 0)], 1e-6)
         assert loops == [[(0, 0), (1, 0), (2, 0), (3, 0)]]
 
+    def test_undirected_property_random_cycles(self):
+        # property test for the order-free combined-flavor check: any set of
+        # random polygon loops passes under ANY edge permutation and ANY
+        # per-edge orientation flips; dropping one open edge always fails
+        from faceformer_tpu.geometry.enclosedness import (
+            is_face_enclosed_undirected)
+
+        rng = np.random.default_rng(4)
+        for trial in range(40):
+            edges = []
+            n_loops = int(rng.integers(1, 4))
+            for _ in range(n_loops):
+                k = int(rng.integers(3, 8))
+                center = rng.uniform(-5, 5, 2)
+                angles = np.sort(rng.uniform(0, 2 * np.pi, k))
+                ring = center + np.stack(
+                    [np.cos(angles), np.sin(angles)], 1) * rng.uniform(0.5, 2)
+                for a, b in zip(ring, np.roll(ring, -1, axis=0)):
+                    seg = [a.tolist(), b.tolist()]
+                    edges.append(seg[::-1] if rng.random() < 0.5 else seg)
+            face = list(rng.permutation(len(edges)))
+            assert is_face_enclosed_undirected(edges, face, 1e-9), trial
+            # removing any single (open) edge leaves odd-degree vertices
+            assert not is_face_enclosed_undirected(edges, face[1:], 1e-9)
+
 
 class TestLoops:
     def test_canonicalize(self):
