@@ -1,0 +1,680 @@
+"""Native STEP (ISO-10303-21) reader/writer for plane/cylinder/cone B-Reps.
+
+The reference reads ABC STEP files through OpenCascade
+(dataset/utils/read_step_file.py:9-55) — a dependency this environment
+cannot provide. This module implements the subset of AP203/AP214 geometry
+the FaceFormer data pipeline actually consumes, entirely in Python/numpy:
+
+  - a full Part 21 tokenizer/parser (entity instances, nested aggregates,
+    typed sub-instances, complex/multi-supertype instances, string escapes);
+  - resolution of MANIFOLD_SOLID_BREP topology into plain record objects:
+    faces (PLANE / CYLINDRICAL_SURFACE / CONICAL_SURFACE) bounded by
+    ordered oriented edge loops over LINE / CIRCLE edge curves;
+  - a writer emitting the same dialect, used by the synthetic STEP corpus
+    generator so the whole STEP -> JSON pipeline is exercisable end-to-end
+    without OCC (tools/prepare_data.py --backend native).
+
+Surfaces/curves outside this subset (B-splines, spheres, tori) raise
+UnsupportedStep with a pointer at the optional OCC backend — the same
+division the reference draws between "solids the paper's data covers" and
+everything else (its length filter caps edges at 64 and its own HLR only
+ever needs plane/cylinder/cone silhouettes on the filtered corpus).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class UnsupportedStep(Exception):
+    """Geometry outside the native subset (use the OCC backend)."""
+
+
+class StepSyntaxError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Part 21 parsing
+# ---------------------------------------------------------------------------
+
+STAR = object()  # the '*' placeholder token
+
+
+class Ref(int):
+    """An entity reference (#n)."""
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"#{int(self)}"
+
+
+@dataclass
+class Typed:
+    """A typed instance: NAME(args). Complex instances use name '&'
+    with a list of Typed parts as args."""
+
+    name: str
+    args: list
+
+
+_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>/\*.*?\*/)
+  | (?P<ref>\#\d+)
+  | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<enum>\.[A-Za-z0-9_]+\.)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<punct>[()=,;$*])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize(text: str):
+    pos, n = 0, len(text)
+    while pos < n:
+        m = _TOKEN.match(text, pos)
+        if m is None:
+            raise StepSyntaxError(f"bad token at byte {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        yield kind, m.group()
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = list(tokens)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+    def expect(self, value):
+        kind, val = self.next()
+        if val != value:
+            raise StepSyntaxError(f"expected {value!r}, got {val!r}")
+
+    def value(self):
+        kind, val = self.next()
+        if kind == "ref":
+            return Ref(int(val[1:]))
+        if kind == "num":
+            f = float(val)
+            return int(f) if re.fullmatch(r"[+-]?\d+", val) else f
+        if kind == "str":
+            return val[1:-1].replace("''", "'")
+        if kind == "enum":
+            return val  # '.T.' / '.F.' / '.UNSPECIFIED.' etc.
+        if kind == "punct" and val == "$":
+            return None
+        if kind == "punct" and val == "*":
+            return STAR
+        if kind == "punct" and val == "(":
+            items = []
+            if self.peek()[1] == ")":
+                self.next()
+                return items
+            while True:
+                items.append(self.value())
+                kind, val = self.next()
+                if val == ")":
+                    return items
+                if val != ",":
+                    raise StepSyntaxError(f"expected , or ) got {val!r}")
+        if kind == "ident":
+            # typed sub-instance NAME(args)
+            name = val.upper()
+            self.expect("(")
+            self.i -= 1  # re-read the '(' as an aggregate
+            args = self.value()
+            return Typed(name, args)
+        raise StepSyntaxError(f"unexpected token {val!r}")
+
+    def instance_body(self):
+        """After '#n =': either TYPE(...) or a complex '( T1() T2() ... )'."""
+        kind, val = self.peek()
+        if kind == "punct" and val == "(":
+            self.next()
+            parts = []
+            while self.peek()[1] != ")":
+                part = self.value()
+                if not isinstance(part, Typed):
+                    raise StepSyntaxError("complex instance part is not typed")
+                parts.append(part)
+            self.next()  # ')'
+            return Typed("&", parts)
+        body = self.value()
+        if not isinstance(body, Typed):
+            raise StepSyntaxError("instance body is not typed")
+        return body
+
+
+def parse_step_text(text: str) -> Dict[int, Typed]:
+    """Parse the DATA section into {id: Typed}. Header is skipped."""
+    start = text.find("DATA;")
+    if start < 0:
+        raise StepSyntaxError("no DATA section")
+    end = text.find("ENDSEC;", start)
+    if end < 0:
+        raise StepSyntaxError("DATA section not closed")
+    parser = _Parser(_tokenize(text[start + 5:end]))
+    entities: Dict[int, Typed] = {}
+    while parser.peek()[0] is not None:
+        kind, val = parser.next()
+        if kind != "ref":
+            raise StepSyntaxError(f"expected #id, got {val!r}")
+        ident = int(val[1:])
+        parser.expect("=")
+        entities[ident] = parser.instance_body()
+        parser.expect(";")
+    return entities
+
+
+def parse_step_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> Dict[int, Typed]:
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise UnsupportedStep(f"{path}: {size} bytes exceeds the {max_bytes} cap")
+    with open(path, "r", errors="replace") as f:
+        return parse_step_text(f.read())
+
+
+# ---------------------------------------------------------------------------
+# B-Rep resolution
+# ---------------------------------------------------------------------------
+
+# face_type ints follow OCC's GeomAbs enum, which the reference stores
+# verbatim (Face.py:18-24): Plane=0, Cylinder=1, Cone=2, ...
+PLANE, CYLINDER, CONE = 0, 1, 2
+
+
+@dataclass
+class Frame:
+    """An AXIS2_PLACEMENT_3D: origin + orthonormal (x, y, z) axes."""
+
+    origin: np.ndarray
+    z: np.ndarray
+    x: np.ndarray
+
+    @property
+    def y(self) -> np.ndarray:
+        return np.cross(self.z, self.x)
+
+
+@dataclass(eq=False)
+class BVertex:
+    point: np.ndarray
+
+
+@dataclass(eq=False)
+class BCurve:
+    kind: str  # 'line' | 'circle'
+    # line: point + unit direction; circle: frame + radius
+    point: Optional[np.ndarray] = None
+    direction: Optional[np.ndarray] = None
+    frame: Optional[Frame] = None
+    radius: float = 0.0
+
+
+@dataclass(eq=False)
+class BEdge:
+    """An EDGE_CURVE. Natural direction is v0 -> v1 (same_sense already
+    folded into the stored curve parametrization at resolution time).
+    ``arc_span`` is the circle parameter interval (t0, t1), t1 > t0,
+    traversed t0 -> t1 in the natural direction; None until computed
+    (parsed edges) or set explicitly (sub-arcs created by splitting)."""
+
+    v0: BVertex
+    v1: BVertex
+    curve: BCurve
+    eid: int = 0
+    arc_span: Optional[Tuple[float, float]] = None
+
+
+@dataclass(eq=False)
+class BFace:
+    """An ADVANCED_FACE: surface + loops of (edge, reversed?) pairs.
+    Bound orientation and ORIENTED_EDGE orientation are folded in, so a
+    loop is the face's actual ordered boundary walk."""
+
+    surface_kind: int  # PLANE / CYLINDER / CONE
+    frame: Frame
+    radius: float  # cylinder/cone station radius at frame origin
+    semi_angle: float  # cone only
+    same_sense: bool
+    loops: List[List[Tuple[BEdge, int]]]
+    fid: int = 0
+
+
+@dataclass(eq=False)
+class BSolid:
+    faces: List[BFace]
+
+    def edges(self) -> List[BEdge]:
+        seen, out = set(), []
+        for face in self.faces:
+            for loop in face.loops:
+                for edge, _ in loop:
+                    if id(edge) not in seen:
+                        seen.add(id(edge))
+                        out.append(edge)
+        return out
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    n = float(np.linalg.norm(v))
+    if n < 1e-12:
+        raise UnsupportedStep("degenerate direction")
+    return v / n
+
+
+class _Resolver:
+    def __init__(self, entities: Dict[int, Typed]):
+        self.ents = entities
+        self.cache: Dict[int, object] = {}
+
+    def get(self, ref) -> Typed:
+        ent = self.ents.get(int(ref))
+        if ent is None:
+            raise StepSyntaxError(f"dangling reference #{int(ref)}")
+        return ent
+
+    # -- geometry -------------------------------------------------------
+
+    def point(self, ref) -> np.ndarray:
+        ent = self.get(ref)
+        if ent.name != "CARTESIAN_POINT":
+            raise UnsupportedStep(f"expected CARTESIAN_POINT, got {ent.name}")
+        return np.asarray(ent.args[1], dtype=float)
+
+    def direction(self, ref) -> np.ndarray:
+        ent = self.get(ref)
+        if ent.name != "DIRECTION":
+            raise UnsupportedStep(f"expected DIRECTION, got {ent.name}")
+        return _unit(np.asarray(ent.args[1], dtype=float))
+
+    def frame(self, ref) -> Frame:
+        if int(ref) in self.cache:
+            return self.cache[int(ref)]
+        ent = self.get(ref)
+        if ent.name != "AXIS2_PLACEMENT_3D":
+            raise UnsupportedStep(f"expected AXIS2_PLACEMENT_3D, got {ent.name}")
+        _, loc, axis, refdir = ent.args
+        origin = self.point(loc)
+        z = self.direction(axis) if axis is not None else np.array([0.0, 0.0, 1.0])
+        if refdir is not None:
+            x = self.direction(refdir)
+            x = _unit(x - z * float(x @ z))  # Gram-Schmidt (STEP requires non-parallel)
+        else:  # STEP default: any direction not parallel to z
+            seed = np.array([1.0, 0.0, 0.0])
+            if abs(float(seed @ z)) > 0.9:
+                seed = np.array([0.0, 1.0, 0.0])
+            x = _unit(seed - z * float(seed @ z))
+        out = Frame(origin, z, x)
+        self.cache[int(ref)] = out
+        return out
+
+    def curve(self, ref) -> BCurve:
+        if int(ref) in self.cache:
+            return self.cache[int(ref)]
+        ent = self.get(ref)
+        if ent.name == "LINE":
+            _, pnt, vec = ent.args
+            v = self.get(vec)
+            if v.name != "VECTOR":
+                raise UnsupportedStep(f"LINE direction is {v.name}")
+            out = BCurve("line", point=self.point(pnt),
+                         direction=self.direction(v.args[1]))
+        elif ent.name == "CIRCLE":
+            _, placement, radius = ent.args
+            out = BCurve("circle", frame=self.frame(placement),
+                         radius=float(radius))
+        else:
+            raise UnsupportedStep(
+                f"edge curve {ent.name} is outside the native subset "
+                "(LINE/CIRCLE); use the OCC backend")
+        self.cache[int(ref)] = out
+        return out
+
+    # -- topology -------------------------------------------------------
+
+    def vertex(self, ref) -> BVertex:
+        if int(ref) in self.cache:
+            return self.cache[int(ref)]
+        ent = self.get(ref)
+        if ent.name != "VERTEX_POINT":
+            raise UnsupportedStep(f"expected VERTEX_POINT, got {ent.name}")
+        out = BVertex(self.point(ent.args[1]))
+        self.cache[int(ref)] = out
+        return out
+
+    def edge(self, ref) -> BEdge:
+        if int(ref) in self.cache:
+            return self.cache[int(ref)]
+        ent = self.get(ref)
+        if ent.name != "EDGE_CURVE":
+            raise UnsupportedStep(f"expected EDGE_CURVE, got {ent.name}")
+        _, v0, v1, curve, same_sense = ent.args
+        out = BEdge(self.vertex(v0), self.vertex(v1), self.curve(curve),
+                    eid=int(ref))
+        if same_sense in (".F.", False):
+            # fold the sense flip into the stored curve so natural direction
+            # is always v0 -> v1
+            c = out.curve
+            if c.kind == "line":
+                out.curve = BCurve("line", point=c.point, direction=-c.direction)
+            else:
+                flipped = Frame(c.frame.origin, -c.frame.z, c.frame.x)
+                out.curve = BCurve("circle", frame=flipped, radius=c.radius)
+        self.cache[int(ref)] = out
+        return out
+
+    def loop(self, bound_ref) -> List[Tuple[BEdge, int]]:
+        bound = self.get(bound_ref)
+        if bound.name not in ("FACE_OUTER_BOUND", "FACE_BOUND"):
+            raise UnsupportedStep(f"expected FACE_BOUND, got {bound.name}")
+        _, loop_ref, orientation = bound.args
+        loop_ent = self.get(loop_ref)
+        if loop_ent.name != "EDGE_LOOP":
+            raise UnsupportedStep(f"expected EDGE_LOOP, got {loop_ent.name}")
+        pairs: List[Tuple[BEdge, int]] = []
+        for oe_ref in loop_ent.args[1]:
+            oe = self.get(oe_ref)
+            if oe.name != "ORIENTED_EDGE":
+                raise UnsupportedStep(f"expected ORIENTED_EDGE, got {oe.name}")
+            _, _, _, edge_ref, flag = oe.args
+            pairs.append((self.edge(edge_ref), 0 if flag in (".T.", True) else 1))
+        if orientation in (".F.", False):
+            pairs = [(e, 1 - o) for e, o in pairs[::-1]]
+        return pairs
+
+    def face(self, ref) -> BFace:
+        ent = self.get(ref)
+        if ent.name not in ("ADVANCED_FACE", "FACE_SURFACE"):
+            raise UnsupportedStep(f"expected ADVANCED_FACE, got {ent.name}")
+        _, bounds, surf_ref, same_sense = ent.args
+        surf = self.get(surf_ref)
+        semi_angle = 0.0
+        if surf.name == "PLANE":
+            kind, frame, radius = PLANE, self.frame(surf.args[1]), 0.0
+        elif surf.name == "CYLINDRICAL_SURFACE":
+            kind, frame, radius = CYLINDER, self.frame(surf.args[1]), float(surf.args[2])
+        elif surf.name == "CONICAL_SURFACE":
+            kind, frame, radius = CONE, self.frame(surf.args[1]), float(surf.args[2])
+            semi_angle = float(surf.args[3])
+        else:
+            raise UnsupportedStep(
+                f"surface {surf.name} is outside the native subset "
+                "(PLANE/CYLINDRICAL_SURFACE/CONICAL_SURFACE); use the OCC backend")
+        loops = [self.loop(b) for b in bounds]
+        return BFace(kind, frame, radius, semi_angle,
+                     same_sense in (".T.", True), loops, fid=int(ref))
+
+    def solids(self) -> List[BSolid]:
+        out = []
+        for ident, ent in sorted(self.ents.items()):
+            if ent.name in ("MANIFOLD_SOLID_BREP", "BREP_WITH_VOIDS"):
+                shells = [ent.args[1]] + (list(ent.args[2]) if ent.name == "BREP_WITH_VOIDS" else [])
+                faces: List[BFace] = []
+                for shell_ref in shells:
+                    shell = self.get(shell_ref)
+                    if shell.name not in ("CLOSED_SHELL", "OPEN_SHELL",
+                                          "ORIENTED_CLOSED_SHELL"):
+                        raise UnsupportedStep(f"unexpected shell {shell.name}")
+                    if shell.name == "ORIENTED_CLOSED_SHELL":
+                        shell = self.get(shell.args[2])
+                    faces.extend(self.face(f) for f in shell.args[1])
+                out.append(BSolid(faces))
+        return out
+
+
+def read_brep(path: str) -> List[BSolid]:
+    """Parse a STEP file and resolve every MANIFOLD_SOLID_BREP."""
+    return _Resolver(parse_step_file(path)).solids()
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+class StepBuilder:
+    """Emit a minimal AP203 Part 21 file from geometry callbacks.
+
+    Deduplicates vertices/points by rounded coordinates so shared topology
+    (a cap circle and the cylinder wall referencing the SAME edge) round-
+    trips as true shared B-Rep entities — which is what makes the parsed
+    solid exercise the pipeline's sewn-edge/pairing machinery for real.
+    """
+
+    def __init__(self):
+        self.rows: List[str] = []
+        self._points: Dict[tuple, str] = {}
+        self._dirs: Dict[tuple, str] = {}
+        self._verts: Dict[tuple, str] = {}
+        self._edges: Dict[tuple, str] = {}
+
+    def emit(self, body: str) -> str:
+        self.rows.append(body)
+        return f"#{len(self.rows)}"
+
+    @staticmethod
+    def _fmt(x: float) -> str:
+        return f"{float(x):.12g}"
+
+    def point(self, p) -> str:
+        key = tuple(round(float(c), 9) for c in p)
+        if key not in self._points:
+            coords = ",".join(self._fmt(c) for c in p)
+            self._points[key] = self.emit(f"CARTESIAN_POINT('',({coords}))")
+        return self._points[key]
+
+    def direction(self, d) -> str:
+        d = _unit(np.asarray(d, dtype=float))
+        key = tuple(round(float(c), 9) for c in d)
+        if key not in self._dirs:
+            coords = ",".join(self._fmt(c) for c in d)
+            self._dirs[key] = self.emit(f"DIRECTION('',({coords}))")
+        return self._dirs[key]
+
+    def axis2(self, origin, z, x) -> str:
+        return self.emit(
+            f"AXIS2_PLACEMENT_3D('',{self.point(origin)},"
+            f"{self.direction(z)},{self.direction(x)})")
+
+    def vertex(self, p) -> str:
+        key = tuple(round(float(c), 9) for c in p)
+        if key not in self._verts:
+            self._verts[key] = self.emit(f"VERTEX_POINT('',{self.point(p)})")
+        return self._verts[key]
+
+    def line_edge(self, p0, p1) -> str:
+        """Shared undirected line edge p0 -> p1 (callers pass a canonical
+        direction; traversal direction is set per ORIENTED_EDGE)."""
+        key = ("L",) + tuple(round(float(c), 9) for c in np.concatenate([p0, p1]))
+        rkey = ("L",) + tuple(round(float(c), 9) for c in np.concatenate([p1, p0]))
+        if rkey in self._edges:
+            raise ValueError("line edge requested in both directions; "
+                             "canonicalize callers")
+        if key not in self._edges:
+            d = np.asarray(p1, dtype=float) - np.asarray(p0, dtype=float)
+            vec = self.emit(f"VECTOR('',{self.direction(d)},{self._fmt(np.linalg.norm(d))})")
+            line = self.emit(f"LINE('',{self.point(p0)},{vec})")
+            self._edges[key] = self.emit(
+                f"EDGE_CURVE('',{self.vertex(p0)},{self.vertex(p1)},{line},.T.)")
+        return self._edges[key]
+
+    def circle_edge(self, center, axis, x, radius, p0, p1, tag="") -> str:
+        """Arc from p0 to p1 CCW around ``axis``; p0 == p1 = full circle.
+        ``tag`` disambiguates equal-endpoint arcs (two halves of one circle)."""
+        key = ("C", tag) + tuple(round(float(c), 9)
+                                 for c in np.concatenate([center, axis, p0, p1]))
+        if key not in self._edges:
+            circ = self.emit(
+                f"CIRCLE('',{self.axis2(center, axis, x)},{self._fmt(radius)})")
+            self._edges[key] = self.emit(
+                f"EDGE_CURVE('',{self.vertex(p0)},{self.vertex(p1)},{circ},.T.)")
+        return self._edges[key]
+
+    def oriented(self, edge: str, forward: bool) -> str:
+        return self.emit(
+            f"ORIENTED_EDGE('',*,*,{edge},{'.T.' if forward else '.F.'})")
+
+    def face(self, loops: Sequence[Sequence[Tuple[str, bool]]], surface: str) -> str:
+        bound_refs = []
+        for i, loop in enumerate(loops):
+            oes = ",".join(self.oriented(e, fwd) for e, fwd in loop)
+            el = self.emit(f"EDGE_LOOP('',({oes}))")
+            kind = "FACE_OUTER_BOUND" if i == 0 else "FACE_BOUND"
+            bound_refs.append(self.emit(f"{kind}('',{el},.T.)"))
+        return self.emit(
+            f"ADVANCED_FACE('',({','.join(bound_refs)}),{surface},.T.)")
+
+    def plane(self, origin, normal) -> str:
+        n = _unit(np.asarray(normal, dtype=float))
+        seed = np.array([1.0, 0.0, 0.0])
+        if abs(float(seed @ n)) > 0.9:
+            seed = np.array([0.0, 1.0, 0.0])
+        x = _unit(seed - n * float(seed @ n))
+        return self.emit(f"PLANE('',{self.axis2(origin, n, x)})")
+
+    def cylinder(self, origin, axis, x, radius) -> str:
+        return self.emit(
+            f"CYLINDRICAL_SURFACE('',{self.axis2(origin, axis, x)},{self._fmt(radius)})")
+
+    def cone(self, origin, axis, x, radius, semi_angle) -> str:
+        return self.emit(
+            f"CONICAL_SURFACE('',{self.axis2(origin, axis, x)},"
+            f"{self._fmt(radius)},{self._fmt(semi_angle)})")
+
+    def solid(self, face_refs: Sequence[str], name="solid") -> str:
+        shell = self.emit(f"CLOSED_SHELL('',({','.join(face_refs)}))")
+        return self.emit(f"MANIFOLD_SOLID_BREP('{name}',{shell})")
+
+    def text(self, filename="synthetic.step") -> str:
+        data = "\n".join(f"#{i + 1} = {row} ;" for i, row in enumerate(self.rows))
+        return (
+            "ISO-10303-21;\nHEADER;\n"
+            "FILE_DESCRIPTION(('faceformer_tpu synthetic solid'),'2;1');\n"
+            f"FILE_NAME('{filename}','',(''),(''),'faceformer_tpu','','');\n"
+            "FILE_SCHEMA(('AUTOMOTIVE_DESIGN { 1 0 10303 214 1 1 1 1 }'));\n"
+            "ENDSEC;\nDATA;\n" + data + "\nENDSEC;\nEND-ISO-10303-21;\n")
+
+
+# ---------------------------------------------------------------------------
+# synthetic solid -> STEP builders
+# ---------------------------------------------------------------------------
+
+_Z = np.array([0.0, 0.0, 1.0])
+
+
+def _ring(poly2d: np.ndarray, z: float) -> np.ndarray:
+    return np.concatenate([poly2d, np.full((len(poly2d), 1), z)], axis=1)
+
+
+def brep_extrusion(poly2d: np.ndarray, z0: float, z1: float,
+                   holes: Sequence[Tuple[float, float, float]] = (),
+                   name: str = "extrusion") -> str:
+    """STEP text for a prism over a CCW simple polygon with optional
+    circular through-holes (each hole wall is ONE cylindrical face with a
+    seam edge — the CAD topology whose HLR splitting and sewn-edge removal
+    the native pipeline must reproduce; reference TopoMapper.py:58-83,
+    118-185)."""
+    b = StepBuilder()
+    poly2d = np.asarray(poly2d, dtype=float)
+    n = len(poly2d)
+    bot, top = _ring(poly2d, z0), _ring(poly2d, z1)
+    faces: List[str] = []
+
+    # walls traverse the bottom ring forward (CCW seen from +z)
+    bot_edges = [b.line_edge(bot[i], bot[(i + 1) % n]) for i in range(n)]
+    top_edges = [b.line_edge(top[i], top[(i + 1) % n]) for i in range(n)]
+    up_edges = [b.line_edge(bot[i], top[i]) for i in range(n)]
+    for i in range(n):
+        j = (i + 1) % n
+        centroid = (bot[i] + bot[j] + top[j] + top[i]) / 4
+        edge_dir = _unit(bot[j] - bot[i])
+        normal = np.cross(edge_dir, _Z)
+        loop = [(bot_edges[i], True), (up_edges[j], True),
+                (top_edges[i], False), (up_edges[i], False)]
+        faces.append(b.face([loop], b.plane(centroid, normal)))
+
+    # caps: bottom traverses the ring reversed, top forward
+    bot_loops = [[(bot_edges[i], False) for i in range(n - 1, -1, -1)]]
+    top_loops = [[(top_edges[i], True) for i in range(n)]]
+
+    for cx, cy, r in holes:
+        c0, c1 = np.array([cx, cy, z0]), np.array([cx, cy, z1])
+        seam0, seam1 = c0 + np.array([r, 0, 0]), c1 + np.array([r, 0, 0])
+        x_axis = np.array([1.0, 0.0, 0.0])
+        circ0 = b.circle_edge(c0, _Z, x_axis, r, seam0, seam0)
+        circ1 = b.circle_edge(c1, _Z, x_axis, r, seam1, seam1)
+        seam = b.line_edge(seam0, seam1)
+        # hole wall: seam up, top circle reversed, seam down, bottom forward
+        wall = [(seam, True), (circ1, False), (seam, False), (circ0, True)]
+        faces.append(b.face([wall], b.cylinder(c0, _Z, x_axis, r)))
+        bot_loops.append([(circ0, False)])
+        top_loops.append([(circ1, True)])
+
+    faces.append(b.face(bot_loops, b.plane(np.array([0, 0, z0]), -_Z)))
+    faces.append(b.face(top_loops, b.plane(np.array([0, 0, z1]), _Z)))
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_cylinder(radius: float, height: float, name: str = "cylinder") -> str:
+    """A full cylinder: one cylindrical wall with a seam, two disc caps."""
+    b = StepBuilder()
+    z0, z1 = -height / 2, height / 2
+    c0, c1 = np.array([0, 0, z0]), np.array([0, 0, z1])
+    x_axis = np.array([1.0, 0.0, 0.0])
+    seam0, seam1 = c0 + np.array([radius, 0, 0]), c1 + np.array([radius, 0, 0])
+    circ0 = b.circle_edge(c0, _Z, x_axis, radius, seam0, seam0)
+    circ1 = b.circle_edge(c1, _Z, x_axis, radius, seam1, seam1)
+    seam = b.line_edge(seam0, seam1)
+    wall = [(seam, True), (circ1, False), (seam, False), (circ0, True)]
+    faces = [
+        b.face([wall], b.cylinder(c0, _Z, x_axis, radius)),
+        b.face([[(circ0, False)]], b.plane(c0, -_Z)),
+        b.face([[(circ1, True)]], b.plane(c1, _Z)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_frustum(r_bottom: float, r_top: float, height: float,
+                 name: str = "frustum") -> str:
+    """A conical frustum: one conical wall with a seam, two disc caps."""
+    if min(r_bottom, r_top) < 1e-6:
+        raise UnsupportedStep("apex cones are outside the native subset")
+    b = StepBuilder()
+    z0, z1 = -height / 2, height / 2
+    c0, c1 = np.array([0, 0, z0]), np.array([0, 0, z1])
+    x_axis = np.array([1.0, 0.0, 0.0])
+    seam0 = c0 + np.array([r_bottom, 0, 0])
+    seam1 = c1 + np.array([r_top, 0, 0])
+    circ0 = b.circle_edge(c0, _Z, x_axis, r_bottom, seam0, seam0)
+    circ1 = b.circle_edge(c1, _Z, x_axis, r_top, seam1, seam1)
+    seam = b.line_edge(seam0, seam1)
+    wall = [(seam, True), (circ1, False), (seam, False), (circ0, True)]
+    semi_angle = float(np.arctan2(r_top - r_bottom, height))
+    faces = [
+        b.face([wall], b.cone(c0, _Z, x_axis, r_bottom, semi_angle)),
+        b.face([[(circ0, False)]], b.plane(c0, -_Z)),
+        b.face([[(circ1, True)]], b.plane(c1, _Z)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")

@@ -1,0 +1,306 @@
+"""Native STEP backend: Part 21 parsing, analytic silhouettes, and the
+CAD-free STEP -> JSON generation pipeline (tools/prepare_data.py
+--backend native).
+
+This is the path the reference runs through OpenCascade
+(dataset/prepare_data.py + dataset/utils/TopoMapper.py); here the whole
+chain — reader, HLR outline splitting, sewn-edge removal, canonical JSON
+emission — executes against real ISO-10303-21 files with no CAD kernel.
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+from faceformer_tpu.geometry.enclosedness import is_face_enclosed
+from faceformer_tpu.tools import step21, step_native
+from faceformer_tpu.tools.occ_pipeline import ProjectionArgs
+from faceformer_tpu.tools.step21 import CONE, CYLINDER, PLANE, UnsupportedStep
+
+_spec = importlib.util.spec_from_file_location(
+    "prepare_data_step", os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "prepare_data.py"))
+prepare_data = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(prepare_data)
+
+_gspec = importlib.util.spec_from_file_location(
+    "gen_step_solids", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "gen_step_solids.py"))
+gen_step = importlib.util.module_from_spec(_gspec)
+_gspec.loader.exec_module(gen_step)
+
+BOX_POLY = np.array([[-0.8, -0.5], [0.8, -0.5], [0.8, 0.5], [-0.8, 0.5]])
+
+
+def _gen_args(**over):
+    base = dict(combine_coedge=False, direction_token=False,
+                order_by_position=False, no_face_type=False, tol=1e-4)
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def _pipeline(text, focus=0.0, **gen_over):
+    ents = step21.parse_step_text(text)
+    solid = step21._Resolver(ents).solids()[0]
+    step_native.normalize_solid(solid)
+    proj = ProjectionArgs(location=(1, 1, 1), direction=(1, 1, 1),
+                          focus=focus, tol=1e-4)
+    topo = step_native.NativeTopoMapper(solid, proj)
+    data = prepare_data.assemble_json(topo, _gen_args(**gen_over), "t")
+    return topo, data
+
+
+# ---------------------------------------------------------------------------
+# Part 21 parser
+# ---------------------------------------------------------------------------
+
+
+class TestParser:
+    def test_box_roundtrip(self):
+        text = step21.brep_extrusion(BOX_POLY, -0.4, 0.4, name="box")
+        solids = step21._Resolver(step21.parse_step_text(text)).solids()
+        assert len(solids) == 1
+        solid = solids[0]
+        assert len(solid.faces) == 6
+        assert len(solid.edges()) == 12
+        assert all(f.surface_kind == PLANE for f in solid.faces)
+        # every undirected edge is traversed exactly twice, in opposite
+        # directions (the invariant the pairing machinery relies on)
+        counts = {}
+        for face in solid.faces:
+            for loop in face.loops:
+                for edge, orient in loop:
+                    counts.setdefault(id(edge), []).append(orient)
+        assert all(sorted(v) == [0, 1] for v in counts.values())
+
+    def test_string_escapes_enums_and_complex_instances(self):
+        text = (
+            "ISO-10303-21;HEADER;ENDSEC;DATA;\n"
+            "#1 = CARTESIAN_POINT('it''s ; tricky (really)',(1.,2.,-3.E-1)) ;\n"
+            "#2 = ( GEOMETRIC_REPRESENTATION_CONTEXT(3) "
+            "GLOBAL_UNIT_ASSIGNED_CONTEXT((#1)) REPRESENTATION_CONTEXT('','') ) ;\n"
+            "#3 = DIRECTION('',(0.,0.,1.)) ;\n"
+            "ENDSEC;END-ISO-10303-21;")
+        ents = step21.parse_step_text(text)
+        assert ents[1].name == "CARTESIAN_POINT"
+        assert ents[1].args[0] == "it's ; tricky (really)"
+        np.testing.assert_allclose(ents[1].args[1], [1.0, 2.0, -0.3])
+        assert ents[2].name == "&"  # complex instance, tolerated
+        assert ents[2].args[1].name == "GLOBAL_UNIT_ASSIGNED_CONTEXT"
+
+    def test_unsupported_surface_raises(self):
+        text = step21.brep_cylinder(0.5, 1.0)
+        text = text.replace("CYLINDRICAL_SURFACE", "TOROIDAL_SURFACE")
+        with pytest.raises(UnsupportedStep):
+            step21._Resolver(step21.parse_step_text(text)).solids()
+
+    def test_oriented_edge_and_bound_flags(self):
+        # a reversed FACE_BOUND must flip loop order and every orientation
+        text = step21.brep_extrusion(BOX_POLY, -0.4, 0.4)
+        ents = step21.parse_step_text(text)
+        # find one FACE_OUTER_BOUND and flip its flag
+        for ident, ent in ents.items():
+            if ent.name == "FACE_OUTER_BOUND":
+                ent.args[2] = ".F."
+                break
+        solid = step21._Resolver(ents).solids()[0]
+        counts = {}
+        for face in solid.faces:
+            for loop in face.loops:
+                for edge, orient in loop:
+                    counts.setdefault(id(edge), []).append(orient)
+        # the invariant survives because BOTH traversals of each edge of
+        # that bound flipped together is false — flipping one face breaks
+        # pairing for its edges, proving the flag is honored
+        assert any(sorted(v) != [0, 1] for v in counts.values())
+
+
+# ---------------------------------------------------------------------------
+# analytic silhouettes (the HLR outline contract)
+# ---------------------------------------------------------------------------
+
+
+def _random_frame(rng):
+    z = rng.normal(size=3)
+    z /= np.linalg.norm(z)
+    seed = rng.normal(size=3)
+    x = seed - z * (seed @ z)
+    x /= np.linalg.norm(x)
+    return step21.Frame(rng.normal(scale=0.3, size=3), z, x)
+
+
+class TestSilhouette:
+    @pytest.mark.parametrize("focus", [0.0, 3.5])
+    def test_cylinder_normal_orthogonality(self, focus):
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            f = _random_frame(rng)
+            face = step21.BFace(CYLINDER, f, float(rng.uniform(0.2, 0.8)),
+                                0.0, True, [])
+            proj = step_native.NativeProjector(
+                ProjectionArgs(location=tuple(rng.uniform(1, 2, 3)),
+                               direction=tuple(rng.normal(size=3)),
+                               focus=focus))
+            for theta in step_native.silhouette_angles(face, proj):
+                n = np.cos(theta) * f.x + np.sin(theta) * f.y
+                p = f.origin + face.radius * n + 0.3 * f.z  # ruling point
+                view = proj.n if proj.eye is None else (p - proj.eye)
+                assert abs(float(n @ view)) < 1e-6 * max(1, np.linalg.norm(view))
+
+    @pytest.mark.parametrize("focus", [0.0, 3.5])
+    def test_cone_normal_orthogonality(self, focus):
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            f = _random_frame(rng)
+            alpha = float(rng.uniform(0.1, 0.6)) * float(rng.choice([-1, 1]))
+            radius = float(rng.uniform(0.3, 0.8))
+            face = step21.BFace(CONE, f, radius, alpha, True, [])
+            proj = step_native.NativeProjector(
+                ProjectionArgs(location=tuple(rng.uniform(1.5, 2.5, 3)),
+                               direction=tuple(rng.normal(size=3)),
+                               focus=focus))
+            ca, sa = np.cos(alpha), np.sin(alpha)
+            for theta in step_native.silhouette_angles(face, proj):
+                n = ca * (np.cos(theta) * f.x + np.sin(theta) * f.y) - sa * f.z
+                z = 0.25
+                r_z = radius + z * np.tan(alpha)
+                p = (f.origin + z * f.z
+                     + r_z * (np.cos(theta) * f.x + np.sin(theta) * f.y))
+                view = proj.n if proj.eye is None else (p - proj.eye)
+                assert abs(float(n @ view)) < 1e-6 * max(1, np.linalg.norm(view))
+
+
+# ---------------------------------------------------------------------------
+# the full native pipeline per solid family
+# ---------------------------------------------------------------------------
+
+
+class TestNativePipeline:
+    @pytest.mark.parametrize("focus", [0.0, 3.0])
+    @pytest.mark.parametrize("maker,exp_types", [
+        (lambda: step21.brep_extrusion(BOX_POLY, -0.4, 0.4),
+         {PLANE: 6}),
+        (lambda: step21.brep_cylinder(0.6, 1.2),
+         {CYLINDER: 2, PLANE: 2}),
+        (lambda: step21.brep_frustum(0.8, 0.45, 1.0),
+         {CONE: 2, PLANE: 2}),
+        (lambda: step21.brep_extrusion(BOX_POLY, -0.4, 0.4,
+                                       holes=[(0.1, 0.0, 0.25)]),
+         {PLANE: 6, CYLINDER: 2}),
+    ])
+    def test_families_valid_and_split(self, maker, exp_types, focus):
+        topo, data = _pipeline(maker(), focus=focus)
+        got = {}
+        for rec in topo.all_faces.values():
+            got[rec.face_type] = got.get(rec.face_type, 0) + 1
+        assert got == exp_types
+        # sewn edges are gone: no face uses an edge twice
+        for rec in topo.all_faces.values():
+            assert len(rec.keys) == len(set(rec.keys))
+        # every coedge has its reversed partner (assemble_json already
+        # asserted per-face enclosedness at tol*2)
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+
+    def test_normalization_scales_bbox_diagonal_to_two(self):
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_extrusion(BOX_POLY * 7.3, -2.0, 5.0))).solids()[0]
+        step_native.normalize_solid(solid)
+        lo, hi = step_native.solid_bbox(solid)
+        np.testing.assert_allclose(np.linalg.norm(hi - lo), 2.0, atol=1e-3)
+        np.testing.assert_allclose((lo + hi) / 2, 0.0, atol=1e-3)
+
+    def test_seam_vertex_keeps_arcs_split_but_edges_paired(self):
+        # the cylinder's seam is removed by the sewn-edge machinery; the
+        # circles stay split at the seam vertex (reference Face.py:73-113
+        # same-face branch), so each cap decomposes into one loop of arcs
+        topo, data = _pipeline(step21.brep_cylinder(0.6, 1.2))
+        plane_faces = [f for f in data["faces_indices"] if f[0] == PLANE]
+        assert len(plane_faces) == 2
+        for _, loops in plane_faces:
+            assert len(loops) == 1
+            assert len(loops[0]) == 3  # split at 2 silhouettes + the seam
+
+    def test_direction_token_flavor(self):
+        _, data = _pipeline(step21.brep_cylinder(0.6, 1.2),
+                            direction_token=True)
+        # oriented pointers: each stored edge referenced once per direction
+        seen = {}
+        for loops in data["faces_indices"]:
+            for loop in loops:
+                for idx, orient in loop:
+                    seen.setdefault(idx, []).append(orient)
+        assert all(sorted(v) == [0, 1] for v in seen.values())
+
+    def test_combine_coedge_flavor(self):
+        _, data = _pipeline(step21.brep_extrusion(BOX_POLY, -0.4, 0.4),
+                            combine_coedge=True)
+        assert len(data["edges"]) == 12  # one record per undirected edge
+        assert data["pairings"] == {}
+
+    def test_multi_solid_rejected(self):
+        text = step21.brep_cylinder(0.5, 1.0)
+        # duplicate the solid entity: two MANIFOLD_SOLID_BREPs
+        ents = step21.parse_step_text(text)
+        shell_ref = next(e.args[1] for e in ents.values()
+                         if e.name == "MANIFOLD_SOLID_BREP")
+        ents[max(ents) + 1] = step21.Typed(
+            "MANIFOLD_SOLID_BREP", ["again", shell_ref])
+        assert len(step21._Resolver(ents).solids()) == 2
+
+
+# ---------------------------------------------------------------------------
+# corpus end-to-end: STEP files on disk -> prepare_data --backend native ->
+# integrity check -> the production dataset packs it
+# ---------------------------------------------------------------------------
+
+
+class TestStepCorpusEndToEnd:
+    def test_corpus(self, tmp_path):
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "step"))
+        for sub in ("json", "svg", "png", "3view_svg", "3view_png"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+        n = 6
+        for i in range(n):
+            rng = np.random.default_rng(np.random.SeedSequence([11, i]))
+            with open(os.path.join(root, "step", f"{i:08d}.step"), "w") as f:
+                f.write(gen_step.random_step_solid(rng, f"{i:08d}"))
+
+        args = argparse.Namespace(
+            root=root, tol=1e-4, filter_num_shapes=1, filter_num_edges=64,
+            location=[1, 1, 1], direction=[1, 1, 1], focus=0.0,
+            combine_coedge=False, direction_token=False,
+            order_by_position=False, no_face_type=False,
+            discretize_last=False, random_camera=True, seed=7,
+            width=256, height=256, backend="native")
+        for i in range(n):
+            prepare_data.render_shape(f"{i:08d}", args)
+
+        names = sorted(os.listdir(os.path.join(root, "json")))
+        assert len(names) == n
+        for fname in names:
+            with open(os.path.join(root, "json", fname)) as f:
+                data = json.load(f)
+            assert 2 * len(data["pairings"]) == len(data["edges"])
+            for face in data["faces_indices"]:
+                flat = [i for lp in face[1] for i in lp]
+                assert is_face_enclosed(data["edges"], flat, 2e-4)
+
+        # the production dataset consumes it directly
+        from faceformer_tpu.config import load_config
+        from faceformer_tpu.data.dataset import ABCDatasetParallel
+
+        with open(os.path.join(root, "all.txt"), "w") as f:
+            f.write("\n".join(f"json/{n}" for n in names))
+        cfg = load_config(opts=[
+            "model.num_lines", "160", "model.max_num_faces", "24",
+            "model.max_face_length", "32", "root_dir", root])
+        ds = ABCDatasetParallel(root, "all.txt", cfg.model)
+        assert len(ds) == n
+        sample = ds[0]
+        assert sample["input"].shape == (160, 50, 2)
+        assert sample["label"].shape == (160, 32)

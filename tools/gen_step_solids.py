@@ -1,0 +1,104 @@
+"""Generate a corpus of real STEP files for the native dataset pipeline.
+
+Emits ISO-10303-21 B-Rep solids (MANIFOLD_SOLID_BREP over plane/cylinder/
+cone surfaces with line/circle edges — the subset step21.py reads and
+writes) into ``<root>/step/<id>.step``, so the STEP -> JSON generation
+path (tools/prepare_data.py --backend native, mirroring reference
+dataset/prepare_data.py) can run end-to-end in environments without ABC
+data or OpenCascade:
+
+    python tools/gen_step_solids.py --root data_step --num 64
+    python tools/prepare_data.py --root data_step --backend native \
+        --random_camera --focus 0
+
+Families: polygon extrusions (rect / n-gon / convex / L / T / notched),
+plates with 1-3 circular through-holes (full cylindrical faces with seam
+edges — the topology whose analytic-HLR splitting and sewn-edge removal
+the native backend reproduces), full cylinders, and conical frustums.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from faceformer_tpu.geometry.solids import (
+    _place_children,
+    origin_clearance,
+    poly_convex,
+    poly_lshape,
+    poly_ngon,
+    poly_notched_rect,
+    poly_rect,
+    poly_tshape,
+)
+from faceformer_tpu.tools import step21
+
+
+def random_footprint(rng: np.random.Generator) -> np.ndarray:
+    kind = rng.choice(["rect", "ngon", "convex", "lshape", "tshape", "notched"])
+    if kind == "rect":
+        return poly_rect(*rng.uniform(1.0, 1.8, size=2))
+    if kind == "ngon":
+        return poly_ngon(int(rng.integers(3, 10)), float(rng.uniform(0.7, 1.0)),
+                         rot=float(rng.uniform(0, np.pi)))
+    if kind == "convex":
+        return poly_convex(rng, int(rng.integers(5, 9)), float(rng.uniform(0.7, 1.0)))
+    if kind == "lshape":
+        return poly_lshape(float(rng.uniform(0.9, 1.5)), float(rng.uniform(0.9, 1.5)),
+                           float(rng.uniform(0.3, 0.6)), float(rng.uniform(0.3, 0.6)))
+    if kind == "tshape":
+        return poly_tshape(float(rng.uniform(1.2, 1.8)), float(rng.uniform(1.0, 1.6)),
+                           float(rng.uniform(0.3, 0.6)), float(rng.uniform(0.4, 0.8)))
+    return poly_notched_rect(rng, float(rng.uniform(1.3, 1.8)),
+                             float(rng.uniform(1.1, 1.6)), int(rng.integers(1, 4)))
+
+
+def random_step_solid(rng: np.random.Generator, name: str) -> str:
+    kind = rng.choice(["extrusion", "holes", "cylinder", "frustum"],
+                      p=[0.35, 0.35, 0.15, 0.15])
+    h = float(rng.uniform(0.4, 1.2))
+    if kind == "cylinder":
+        return step21.brep_cylinder(float(rng.uniform(0.5, 0.9)), h, name=name)
+    if kind == "frustum":
+        r0 = float(rng.uniform(0.6, 0.9))
+        return step21.brep_frustum(r0, r0 * float(rng.uniform(0.4, 0.8)), h,
+                                   name=name)
+    poly = random_footprint(rng)
+    holes = []
+    if kind == "holes":
+        clearance = origin_clearance(poly)
+        if clearance > 0.2:
+            n_holes = int(rng.integers(1, 4))
+            radii = [clearance * float(rng.uniform(0.15, 0.3))
+                     for _ in range(n_holes)]
+            centers = _place_children(rng, clearance, radii)
+            if centers is not None:
+                holes = [(float(c[0]), float(c[1]), r)
+                         for c, r in zip(centers, radii)]
+    return step21.brep_extrusion(poly, -h / 2, h / 2, holes=holes, name=name)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", type=str, default="./data_step")
+    parser.add_argument("--num", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    out = os.path.join(args.root, "step")
+    os.makedirs(out, exist_ok=True)
+    for i in range(args.num):
+        rng = np.random.default_rng(np.random.SeedSequence([args.seed, i]))
+        name = f"{i:08d}"
+        text = random_step_solid(rng, name)
+        with open(os.path.join(out, f"{name}.step"), "w") as f:
+            f.write(text)
+    print(f"wrote {args.num} STEP solids under {out}")
+
+
+if __name__ == "__main__":
+    main()

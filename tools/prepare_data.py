@@ -1,9 +1,10 @@
-"""ABC STEP files -> training JSONs (+ SVG viz). Requires pythonocc-core.
+"""ABC STEP files -> training JSONs (+ SVG viz).
 
 Same CLI surface and output layout as the reference
 (dataset/prepare_data.py:378-426):
 
     python tools/prepare_data.py --root <ABC root with step/> [--id_list F]
+        [--backend auto|occ|native]
         [--combine_coedge] [--order_by_position] [--direction_token]
         [--random_camera] [--focus F] [--no_face_type] [--discretize_last]
         [--three_view] [--name ID] [--only_split]
@@ -15,7 +16,15 @@ write seeded 0.93/0.02/0.05 splits. --three_view instead renders the four
 canonical views used by the 3-view similarity filter
 (reference dataset/filters/3view_render.py).
 
-CAD-free alternative: python -m faceformer_tpu.tools.synthetic_data.
+Backends: ``occ`` runs the full OpenCascade pipeline
+(faceformer_tpu/tools/occ_pipeline.py, requires pythonocc-core);
+``native`` runs the CAD-free STEP reader + analytic-HLR pipeline
+(faceformer_tpu/tools/step_native.py, plane/cylinder/cone solids with
+line/circle edges — no extra dependencies). ``auto`` picks occ when
+pythonocc is importable, native otherwise.
+
+CAD-free fixture alternative (no STEP files at all):
+python -m faceformer_tpu.tools.synthetic_data.
 """
 
 import argparse
@@ -139,10 +148,100 @@ def assemble_json(topo, args, name: str) -> dict:
     }
 
 
+def resolve_backend(args) -> str:
+    if args.backend != "auto":
+        return args.backend
+    try:
+        import OCC.Core  # noqa: F401
+
+        return "occ"
+    except ImportError:
+        return "native"
+
+
+def run_with_camera(name: str, args, proj, emit) -> None:
+    """Shared camera policy: optional random re-rolls (up to 5, reference
+    prepare_data.py:305-319), then the deterministic fallback camera."""
+    from faceformer_tpu.tools import occ_pipeline as occ
+
+    if args.random_camera:
+        # per-shape, per-attempt cameras. Documented deviation: the
+        # reference reseeds global np.random with the constant args.seed
+        # before every draw (projection_utils.py:11-12), so every shape
+        # gets the SAME camera and a degenerate camera can never be
+        # re-rolled; it also falls through to the final attempt with the
+        # last failed pose still set. Here each shape derives its own
+        # stream from (seed, name) and the fallback restores the
+        # deterministic --location/--direction camera.
+        shape_key = (int(name) if name.isdigit()
+                     else zlib.crc32(name.encode()))
+        rng = np.random.default_rng(
+            np.random.SeedSequence([args.seed, shape_key]))
+        for _ in range(5):  # re-roll degenerate cameras (reference :305-319)
+            try:
+                focus, pose = occ.generate_random_camera_pos(rng=rng)
+                proj.pose = pose
+                if args.focus != 0:
+                    proj.focus = focus
+                emit()
+                return
+            except Exception:
+                continue
+        proj.pose = None  # restore the default camera for the fallback
+        proj.focus = args.focus
+    emit()
+
+
+def render_shape_native(name: str, args) -> None:
+    """Per-shape worker on the CAD-free backend: parse the STEP B-Rep,
+    filter, normalize, analytic-HLR split + project, emit. Mirrors
+    render_shape (reference prepare_data.py:268-327) without OCC."""
+    from faceformer_tpu.tools import occ_pipeline as occ
+    from faceformer_tpu.tools import step_native
+
+    try:
+        path = os.path.join(args.root, "step", f"{name}.step")
+        try:
+            solid, num_shapes = step_native.load_solid(
+                path, filter_num_shapes=args.filter_num_shapes)
+        except step_native.UnsupportedStep as exc:
+            print(f"{name} is outside the native STEP subset ({exc}); "
+                  "rerun with --backend occ")
+            return
+        if solid is None:
+            print(f"{name} rejected: {num_shapes} shapes")
+            return
+        if len(solid.edges()) > args.filter_num_edges:
+            print(f"{name} has too many edges.")
+            return
+        step_native.normalize_solid(solid)
+
+        proj = occ.ProjectionArgs(
+            location=tuple(args.location), direction=tuple(args.direction),
+            focus=args.focus, tol=args.tol, discretize_last=args.discretize_last)
+
+        def emit():
+            topo = step_native.NativeTopoMapper(solid, proj)
+            data = assemble_json(topo, args, name)
+            os.makedirs(os.path.join(args.root, "json"), exist_ok=True)
+            with open(os.path.join(args.root, "json", f"{name}.json"), "w") as f:
+                json.dump(data, f)
+            save_svg(data["edges"], os.path.join(args.root, "svg", f"{name}.svg"),
+                     width=args.width, height=args.height)
+
+        run_with_camera(name, args, proj, emit)
+    except Exception as exc:
+        print(f"{name} received unknown error", exc)
+
+
 def render_shape(name: str, args) -> None:
     """Per-shape worker: read, filter, normalize, project, emit
     (reference prepare_data.py:268-327). Errors are swallowed and logged."""
     from faceformer_tpu.tools import occ_pipeline as occ
+
+    if resolve_backend(args) == "native":
+        render_shape_native(name, args)
+        return
 
     try:
         try:
@@ -189,32 +288,7 @@ def render_shape(name: str, args) -> None:
             save_svg(data["edges"], os.path.join(args.root, "svg", f"{name}.svg"),
                      width=args.width, height=args.height)
 
-        if args.random_camera:
-            # per-shape, per-attempt cameras. Documented deviation: the
-            # reference reseeds global np.random with the constant
-            # args.seed before every draw (projection_utils.py:11-12), so
-            # every shape gets the SAME camera and a degenerate camera can
-            # never be re-rolled; it also falls through to the final
-            # attempt with the last failed pose still set. Here each shape
-            # derives its own stream from (seed, name) and the fallback
-            # restores the deterministic --location/--direction camera.
-            shape_key = (int(name) if name.isdigit()
-                         else zlib.crc32(name.encode()))
-            rng = np.random.default_rng(
-                np.random.SeedSequence([args.seed, shape_key]))
-            for _ in range(5):  # re-roll degenerate cameras (reference :305-319)
-                try:
-                    focus, pose = occ.generate_random_camera_pos(rng=rng)
-                    proj.pose = pose
-                    if args.focus != 0:
-                        proj.focus = focus
-                    emit()
-                    return
-                except Exception:
-                    continue
-            proj.pose = None  # restore the default camera for the fallback
-            proj.focus = args.focus
-        emit()
+        run_with_camera(name, args, proj, emit)
     except Exception as exc:
         print(f"{name} received unknown error", exc)
 
@@ -287,12 +361,18 @@ def main() -> None:
     parser.add_argument("--discretize_last", action="store_true")
     parser.add_argument("--no_face_type", action="store_true")
     parser.add_argument("--three_view", action="store_true")
+    parser.add_argument("--backend", choices=["auto", "occ", "native"],
+                        default="auto")
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
-    from faceformer_tpu.tools.occ_pipeline import require_occ
+    if args.three_view and resolve_backend(args) == "native":
+        raise SystemExit("--three_view needs real HLR visibility "
+                         "classification; rerun with --backend occ")
+    if resolve_backend(args) == "occ":
+        from faceformer_tpu.tools.occ_pipeline import require_occ
 
-    require_occ()
+        require_occ()
 
     np.random.seed(args.seed)
     for sub in ("json", "svg", "png", "3view_svg", "3view_png"):
