@@ -56,11 +56,12 @@ class ModelConfig:
     # rematerialize per-layer activations in the backward pass
     # (jax.checkpoint over the scanned layer body) — trades FLOPs for HBM
     remat: bool = False
-    # remat granularity: "full" recomputes everything (lowest memory);
-    # "dots" saves matmul outputs and recomputes only elementwise ops
-    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — measured
-    # +15% train throughput at batch 16 with dropout 0.2, but needs more
-    # HBM (batch 32 at flagship dims only fits with "full")
+    # remat granularity, lowest memory -> most saved:
+    #   "full"     recompute everything (fits batch 32 at flagship dims);
+    #   "attn"     save attention block outputs (tagged "attn_out") only;
+    #   "attn_ffn" save attention + FFN block outputs;
+    #   "dots"     save every matmul output (dots_with_no_batch_dims_saveable;
+    #              OOMs at flagship dims, benchmarks/train_decomp.json)
     remat_policy: str = "full"
     token: TokenConfig = field(default_factory=TokenConfig)
 

@@ -329,7 +329,16 @@ def multihead_attention(
 def _ffn(p: Params, x: jnp.ndarray, act, rate: float, rng) -> jnp.ndarray:
     h = act(linear(p["lin1"], x))
     h = dropout(h, rate, rng)
-    return linear(p["lin2"], h)
+    return _ckpt_name(linear(p["lin2"], h), "ffn_out")
+
+
+def _ckpt_name(x: jnp.ndarray, name: str) -> jnp.ndarray:
+    """Tag an intermediate for the named remat policies ("attn"/"attn_ffn",
+    _scan_stack): a no-op unless the surrounding jax.checkpoint uses
+    save_only_these_names."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, name)
 
 
 def _rngs(rng: Optional[jax.Array], n: int):
@@ -356,17 +365,19 @@ def encoder_layer(
     if normalize_before:
         x2 = layer_norm(p["norm1"], x)
         qk = x2 + pos
-        sa = multihead_attention(
+        sa = _ckpt_name(multihead_attention(
             p["self_attn"], qk, qk, x2, num_head,
-            key_padding_mask=key_padding_mask, dropout_rate=dropout_rate, rng=r_attn)
+            key_padding_mask=key_padding_mask, dropout_rate=dropout_rate,
+            rng=r_attn), "attn_out")
         x = x + dropout(sa, dropout_rate, r1)
         x2 = layer_norm(p["norm2"], x)
         x = x + dropout(_ffn(p["ffn"], x2, act, dropout_rate, r_ffn_in), dropout_rate, r2)
         return x
     qk = x + pos
-    sa = multihead_attention(
+    sa = _ckpt_name(multihead_attention(
         p["self_attn"], qk, qk, x, num_head,
-        key_padding_mask=key_padding_mask, dropout_rate=dropout_rate, rng=r_attn)
+        key_padding_mask=key_padding_mask, dropout_rate=dropout_rate,
+        rng=r_attn), "attn_out")
     x = layer_norm(p["norm1"], x + dropout(sa, dropout_rate, r1))
     ff = _ffn(p["ffn"], x, act, dropout_rate, r_ffn_in)
     return layer_norm(p["norm2"], x + dropout(ff, dropout_rate, r2))
@@ -396,29 +407,30 @@ def decoder_layer(
     if normalize_before:
         t2 = layer_norm(p["norm1"], tgt)
         qk = t2 + query_pos
-        sa = multihead_attention(
+        sa = _ckpt_name(multihead_attention(
             p["self_attn"], qk, qk, t2, num_head,
             attn_mask=tgt_mask, key_padding_mask=tgt_key_padding_mask,
-            dropout_rate=dropout_rate, rng=r_sa)
+            dropout_rate=dropout_rate, rng=r_sa), "attn_out")
         tgt = tgt + dropout(sa, dropout_rate, r1)
         t2 = layer_norm(p["norm2"], tgt)
-        ca = multihead_attention(
+        ca = _ckpt_name(multihead_attention(
             p["cross_attn"], t2 + query_pos, memory + pos, memory, num_head,
             key_padding_mask=memory_key_padding_mask,
-            dropout_rate=dropout_rate, rng=r_ca)
+            dropout_rate=dropout_rate, rng=r_ca), "attn_out")
         tgt = tgt + dropout(ca, dropout_rate, r2)
         t2 = layer_norm(p["norm3"], tgt)
         tgt = tgt + dropout(_ffn(p["ffn"], t2, act, dropout_rate, r_ffn_in), dropout_rate, r3)
         return tgt
     qk = tgt + query_pos
-    sa = multihead_attention(
+    sa = _ckpt_name(multihead_attention(
         p["self_attn"], qk, qk, tgt, num_head,
         attn_mask=tgt_mask, key_padding_mask=tgt_key_padding_mask,
-        dropout_rate=dropout_rate, rng=r_sa)
+        dropout_rate=dropout_rate, rng=r_sa), "attn_out")
     tgt = layer_norm(p["norm1"], tgt + dropout(sa, dropout_rate, r1))
-    ca = multihead_attention(
+    ca = _ckpt_name(multihead_attention(
         p["cross_attn"], tgt + query_pos, memory + pos, memory, num_head,
-        key_padding_mask=memory_key_padding_mask, dropout_rate=dropout_rate, rng=r_ca)
+        key_padding_mask=memory_key_padding_mask, dropout_rate=dropout_rate,
+        rng=r_ca), "attn_out")
     tgt = layer_norm(p["norm2"], tgt + dropout(ca, dropout_rate, r2))
     ff = _ffn(p["ffn"], tgt, act, dropout_rate, r_ffn_in)
     return layer_norm(p["norm3"], tgt + dropout(ff, dropout_rate, r3))
@@ -433,11 +445,20 @@ def _scan_stack(layer_fn, stacked: Params, x: jnp.ndarray, rng: Optional[jax.Arr
                 remat: bool = False, remat_policy: str = "full"):
     n_layers = jax.tree.leaves(stacked)[0].shape[0]
     if remat:
-        # recompute layer activations in the backward pass (HBM for FLOPs);
-        # the "dots" policy keeps matmul outputs resident and recomputes
-        # only the elementwise tail — fewer recompute FLOPs, more HBM
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if remat_policy == "dots" else None)
+        # recompute layer activations in the backward pass (HBM for FLOPs).
+        # Policies between "full" (save only the layer boundary; max
+        # recompute) and "dots" (save every matmul output; OOMs at flagship
+        # dims, benchmarks/train_decomp.json): the named policies keep just
+        # the tagged block outputs (_ckpt_name) resident, so backward
+        # re-derives the residual chain from cheap adds/LNs instead of
+        # re-running attention/FFN matmuls.
+        cp = jax.checkpoint_policies
+        policy = {
+            "full": None,
+            "dots": cp.dots_with_no_batch_dims_saveable,
+            "attn": cp.save_only_these_names("attn_out"),
+            "attn_ffn": cp.save_only_these_names("attn_out", "ffn_out"),
+        }[remat_policy]
         layer_fn = jax.checkpoint(layer_fn, static_argnums=(), policy=policy)
 
     def body(carry, inputs):

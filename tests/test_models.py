@@ -275,9 +275,10 @@ class TestRematPolicies:
         params = SurfaceFormerParallel.init(jax.random.PRNGKey(1), tiny_model_cfg)
 
         grads = {}
+        policies = ("full", "dots", "attn", "attn_ffn")
         for name, kw in (("off", dict(remat=False)),
-                         ("full", dict(remat=True, remat_policy="full")),
-                         ("dots", dict(remat=True, remat_policy="dots"))):
+                         *((p, dict(remat=True, remat_policy=p))
+                           for p in policies)):
             cfg = dataclasses.replace(tiny_model_cfg, **kw)
 
             def loss_fn(p, cfg=cfg):
@@ -285,7 +286,48 @@ class TestRematPolicies:
                 return pointer_cross_entropy(out, cfg.token)[0]
 
             grads[name] = jax.grad(loss_fn)(params)
-        for name in ("full", "dots"):
+        for name in policies:
+            for a, b in zip(jax.tree.leaves(grads["off"]),
+                            jax.tree.leaves(grads[name])):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-4)
+
+    def test_gradients_match_with_dropout(self, tiny_model_cfg):
+        """With an rng (dropout active), jax.checkpoint must REPLAY the same
+        random masks in the recompute — gradients under every remat policy
+        must equal the non-remat backward for the same rng."""
+        import dataclasses
+
+        import jax
+        import numpy as np
+
+        from faceformer_tpu.data.batching import collate
+        from faceformer_tpu.data.dataset import ABCDatasetParallel
+        from faceformer_tpu.geometry.fixtures import random_sample
+        from faceformer_tpu.models.parallel import SurfaceFormerParallel
+        from faceformer_tpu.train.loss import pointer_cross_entropy
+
+        rng = np.random.default_rng(4)
+        ds = ABCDatasetParallel.from_samples(
+            [random_sample(rng) for _ in range(2)], tiny_model_cfg)
+        batch = {k: v for k, v in collate([ds[0], ds[1]]).items()
+                 if not isinstance(v, (list, str))}
+        params = SurfaceFormerParallel.init(jax.random.PRNGKey(1), tiny_model_cfg)
+        drop_rng = jax.random.key(7)
+
+        grads = {}
+        for name, kw in (("off", dict(remat=False)),
+                         ("attn", dict(remat=True, remat_policy="attn")),
+                         ("attn_ffn", dict(remat=True, remat_policy="attn_ffn"))):
+            cfg = dataclasses.replace(tiny_model_cfg, **kw)
+
+            def loss_fn(p, cfg=cfg):
+                out = SurfaceFormerParallel.forward_train(
+                    p, cfg, batch, rng=drop_rng)
+                return pointer_cross_entropy(out, cfg.token)[0]
+
+            grads[name] = jax.grad(loss_fn)(params)
+        for name in ("attn", "attn_ffn"):
             for a, b in zip(jax.tree.leaves(grads["off"]),
                             jax.tree.leaves(grads[name])):
                 np.testing.assert_allclose(

@@ -101,6 +101,9 @@ def main(argv=None):
         ("remat_full", dataclasses.replace(base, remat=True, remat_policy="full")),
         ("remat_off", dataclasses.replace(base, remat=False)),
         ("remat_dots", dataclasses.replace(base, remat=True, remat_policy="dots")),
+        ("remat_attn", dataclasses.replace(base, remat=True, remat_policy="attn")),
+        ("remat_attn_ffn",
+         dataclasses.replace(base, remat=True, remat_policy="attn_ffn")),
     ):
         for dname, dval in (("drop0.2", None), ("drop0", 0.0)):
             loss = make_loss(mcfg, dropout=0.0 if dname == "drop0" else None)
