@@ -197,8 +197,9 @@ def parse_step_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> Dict[int, T
 # ---------------------------------------------------------------------------
 
 # face_type ints follow OCC's GeomAbs enum, which the reference stores
-# verbatim (Face.py:18-24): Plane=0, Cylinder=1, Cone=2, ...
-PLANE, CYLINDER, CONE = 0, 1, 2
+# verbatim (Face.py:18-24): Plane=0, Cylinder=1, Cone=2, Sphere=3, ...
+# (labels clamp every type >= 2 to "Other", data_para.py:76-80)
+PLANE, CYLINDER, CONE, SPHERE = 0, 1, 2, 3
 
 
 @dataclass
@@ -415,10 +416,13 @@ class _Resolver:
         elif surf.name == "CONICAL_SURFACE":
             kind, frame, radius = CONE, self.frame(surf.args[1]), float(surf.args[2])
             semi_angle = float(surf.args[3])
+        elif surf.name == "SPHERICAL_SURFACE":
+            kind, frame, radius = SPHERE, self.frame(surf.args[1]), float(surf.args[2])
         else:
             raise UnsupportedStep(
                 f"surface {surf.name} is outside the native subset "
-                "(PLANE/CYLINDRICAL_SURFACE/CONICAL_SURFACE); use the OCC backend")
+                "(PLANE/CYLINDRICAL_SURFACE/CONICAL_SURFACE/SPHERICAL_SURFACE); "
+                "use the OCC backend")
         loops = [self.loop(b) for b in bounds]
         return BFace(kind, frame, radius, semi_angle,
                      same_sense in (".T.", True), loops, fid=int(ref))
@@ -560,6 +564,10 @@ class StepBuilder:
             f"CONICAL_SURFACE('',{self.axis2(origin, axis, x)},"
             f"{self._fmt(radius)},{self._fmt(semi_angle)})")
 
+    def sphere(self, center, axis, x, radius) -> str:
+        return self.emit(
+            f"SPHERICAL_SURFACE('',{self.axis2(center, axis, x)},{self._fmt(radius)})")
+
     def solid(self, face_refs: Sequence[str], name="solid") -> str:
         shell = self.emit(f"CLOSED_SHELL('',({','.join(face_refs)}))")
         return self.emit(f"MANIFOLD_SOLID_BREP('{name}',{shell})")
@@ -650,6 +658,53 @@ def brep_cylinder(radius: float, height: float, name: str = "cylinder") -> str:
         b.face([wall], b.cylinder(c0, _Z, x_axis, radius)),
         b.face([[(circ0, False)]], b.plane(c0, -_Z)),
         b.face([[(circ1, True)]], b.plane(c1, _Z)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_dome(radius: float, cap_height: float, name: str = "dome") -> str:
+    """A spherical cap sitting on a flat disc: sphere of ``radius`` cut by
+    the plane z = radius - cap_height (0 < cap_height < 2*radius). Two
+    faces sharing one boundary circle — the smallest sphere-bearing closed
+    B-Rep, exercising the SPHERICAL_SURFACE path end to end."""
+    if not 0.0 < cap_height < 2.0 * radius - 1e-9:
+        raise ValueError("cap_height must be in (0, 2*radius)")
+    b = StepBuilder()
+    z_c = radius - cap_height
+    rho = float(np.sqrt(radius * radius - z_c * z_c))
+    center = np.array([0.0, 0.0, 0.0])
+    c_cut = np.array([0.0, 0.0, z_c])
+    x_axis = np.array([1.0, 0.0, 0.0])
+    seam = c_cut + np.array([rho, 0.0, 0.0])
+    circ = b.circle_edge(c_cut, _Z, x_axis, rho, seam, seam)
+    faces = [
+        b.face([[(circ, True)]], b.sphere(center, _Z, x_axis, radius)),
+        b.face([[(circ, False)]], b.plane(c_cut, -_Z)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_dome_block(radius: float, height: float,
+                    name: str = "dome_block") -> str:
+    """A cylinder capped by a hemisphere: bottom disc, cylindrical wall
+    (with a seam), hemispherical top whose boundary is the wall's top
+    circle — the shared-equator topology where the wall's silhouette split
+    subdivides the sphere face's boundary arcs."""
+    b = StepBuilder()
+    z0, z1 = -height / 2, height / 2
+    c0, c1 = np.array([0, 0, z0]), np.array([0, 0, z1])
+    x_axis = np.array([1.0, 0.0, 0.0])
+    seam0, seam1 = c0 + np.array([radius, 0, 0]), c1 + np.array([radius, 0, 0])
+    circ0 = b.circle_edge(c0, _Z, x_axis, radius, seam0, seam0)
+    circ1 = b.circle_edge(c1, _Z, x_axis, radius, seam1, seam1)
+    seam = b.line_edge(seam0, seam1)
+    wall = [(seam, True), (circ1, False), (seam, False), (circ0, True)]
+    faces = [
+        b.face([wall], b.cylinder(c0, _Z, x_axis, radius)),
+        b.face([[(circ0, False)]], b.plane(c0, -_Z)),
+        b.face([[(circ1, True)]], b.sphere(c1, _Z, x_axis, radius)),
     ]
     b.solid(faces, name=name)
     return b.text(f"{name}.step")

@@ -38,7 +38,7 @@ import numpy as np
 from faceformer_tpu.tools import step21
 from faceformer_tpu.tools.step21 import (
     BCurve, BEdge, BFace, BSolid, BVertex, Frame, UnsupportedStep,
-    CONE, CYLINDER, PLANE,
+    CONE, CYLINDER, PLANE, SPHERE,
 )
 from faceformer_tpu.tools.occ_pipeline import (
     EdgeRecord, FaceRecord, ProjectionArgs, TopoMapper,
@@ -105,8 +105,22 @@ def discretize_bedge(edge: BEdge, tol: float,
 
 
 def solid_bbox(solid: BSolid, tol: float = 1e-3) -> Tuple[np.ndarray, np.ndarray]:
-    pts = np.concatenate([discretize_bedge(e, tol, max_points=128)
-                          for e in solid.edges()])
+    pts = [np.concatenate([discretize_bedge(e, tol, max_points=128)
+                           for e in solid.edges()])]
+    for face in solid.faces:
+        if face.surface_kind != SPHERE:
+            continue
+        # a sphere cap bulges past its boundary edges: include the cap pole
+        # (or, unclassifiable caps, the conservative full-sphere corners)
+        try:
+            cap = _sphere_cap(face, face.loops[0])
+            pts.append(face.frame.origin[None, :]
+                       + face.radius * cap.w[None, :])
+        except UnsupportedStep:
+            corner = np.full(3, face.radius)
+            pts.append(np.stack([face.frame.origin - corner,
+                                 face.frame.origin + corner]))
+    pts = np.concatenate(pts)
     return pts.min(axis=0), pts.max(axis=0)
 
 
@@ -581,6 +595,300 @@ def arc_orient_of(p: _Piece, ccw: bool) -> int:
     return 0 if (p.sense > 0) == ccw else 1
 
 
+# ---------------------------------------------------------------------------
+# spherical faces: cap classification + silhouette-circle splitting
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Cap:
+    """A spherical cap: the face region {P : (P - C) @ w >= h} of a sphere
+    (C, R), bounded by one circle of radius ``rho`` centered ``O_b``."""
+
+    w: np.ndarray       # unit cap axis, pointing from the boundary plane
+    h: float            # signed plane offset along w (negative: cap > half)
+    O_b: np.ndarray     # boundary circle center
+    rho: float          # boundary circle radius
+
+
+def _sphere_cap(face: BFace, loop) -> _Cap:
+    """Classify a sphere face's boundary as a single-circle cap.
+
+    The cap side is derived from the boundary walk orientation: walking the
+    oriented boundary with the outward surface normal up, the face lies to
+    the left (STEP FACE_OUTER_BOUND convention — the same rule the writer's
+    cap discs follow)."""
+    C, R = face.frame.origin, face.radius
+    edges: List[BEdge] = []
+    seen = set()
+    for edge, _ in loop:
+        if edge.curve.kind != "circle":
+            raise UnsupportedStep("sphere face bounded by a non-circle edge")
+        if id(edge) in seen:
+            raise UnsupportedStep("sphere face with a seam edge")
+        seen.add(id(edge))
+        edges.append(edge)
+    centers = np.stack([e.curve.frame.origin for e in edges])
+    radii = np.array([e.curve.radius for e in edges])
+    if float(np.ptp(centers, axis=0).max()) > 1e-6 or float(np.ptp(radii)) > 1e-6:
+        raise UnsupportedStep("sphere face boundary spans multiple circles")
+    O_b, rho = centers[0], float(radii[0])
+    off = O_b - C
+    h_abs = float(np.linalg.norm(off))
+    w = off / h_abs if h_abs > 1e-7 else np.array(edges[0].curve.frame.z, float)
+    if abs(h_abs * h_abs + rho * rho - R * R) > 1e-4 * max(R * R, 1.0):
+        raise UnsupportedStep("sphere boundary circle is not on the sphere")
+    edge0, orient0 = loop[0]
+    p0 = edge0.v0.point if orient0 == 0 else edge0.v1.point
+    tangent = np.cross(edge0.curve.frame.z, p0 - edge0.curve.frame.origin)
+    if orient0 == 1:
+        tangent = -tangent
+    n_out = (p0 - C) / R
+    if float(np.cross(n_out, tangent) @ w) < 0:
+        w = -w
+    return _Cap(w, float(off @ w), O_b, rho)
+
+
+def _sphere_silhouette(face: BFace,
+                       projector: NativeProjector) -> Tuple[np.ndarray, float]:
+    """Silhouette plane of a sphere under the camera: (u, g) with the
+    silhouette circle = sphere ∩ {P : (P - C) @ u = g}; u points toward
+    the viewer. Orthographic: the great circle normal to the view
+    direction. Perspective from eye E at distance d: offset R^2/d."""
+    C, R = face.frame.origin, face.radius
+    if projector.eye is None:
+        return projector.n, 0.0
+    q = projector.eye - C
+    d = float(np.linalg.norm(q))
+    if d <= R * (1.0 + 1e-9):
+        raise UnsupportedStep("camera eye inside a sphere")
+    return q / d, R * R / d
+
+
+class _SphereSplitter:
+    """Split one spherical cap face along its silhouette circle.
+
+    Three geometric regimes (margins treat tangency as grazing, like
+    _solve_silhouette): the silhouette circle misses the cap (no split);
+    it crosses the boundary circle at two points (split into a
+    toward-camera and an away sub-face along the silhouette arc); or it
+    lies entirely inside the cap (split into an inner sub-cap plus a band
+    face with two loops). This is the sphere analogue of OCC's HLR outline
+    splitting (reference TopoMapper.py:38-43, 58-83); sphere faces map to
+    the reference's Other face type (Face.py:18-24, GeomAbs_Sphere = 3)."""
+
+    _MARGIN = 1e-3
+
+    def __init__(self, face: BFace, projector: NativeProjector, tol: float,
+                 registry: "_SplitRegistry"):
+        self.face = face
+        self.tol = tol
+        self.reg = registry
+        if len(face.loops) != 1:
+            raise UnsupportedStep("multi-loop sphere faces need the OCC backend")
+        self.loop = registry.expand(face.loops[0])
+        self.C, self.R = face.frame.origin, face.radius
+        self.u, self.g = _sphere_silhouette(face, projector)
+        self.cap = _sphere_cap(face, self.loop)
+        w = self.cap.w
+        seed = np.array([1.0, 0.0, 0.0])
+        if abs(float(seed @ w)) > 0.9:
+            seed = np.array([0.0, 1.0, 0.0])
+        self.bx = _unit(seed - w * float(seed @ w))
+        self.by = np.cross(w, self.bx)
+
+    # -- boundary-frame helpers ---------------------------------------------
+
+    def _theta(self, p: np.ndarray) -> float:
+        q = p - self.cap.O_b
+        return float(np.arctan2(q @ self.by, q @ self.bx))
+
+    def _point_at(self, theta: float) -> np.ndarray:
+        return (self.cap.O_b
+                + self.cap.rho * (np.cos(theta) * self.bx
+                                  + np.sin(theta) * self.by))
+
+    def _classify_pieces(self) -> List[_Piece]:
+        pieces = []
+        for edge, _ in self.loop:
+            sense = 1 if float(edge.curve.frame.z @ self.cap.w) > 0 else -1
+            t0, t1 = self._theta(edge.v0.point), self._theta(edge.v1.point)
+            full = float(np.linalg.norm(edge.v0.point - edge.v1.point)) < 1e-9
+            if sense > 0:
+                s = t0
+                e = t0 + TWO_PI if full else t0 + ((t1 - t0) % TWO_PI or TWO_PI)
+            else:
+                s = t1
+                e = t1 + TWO_PI if full else t1 + ((t0 - t1) % TWO_PI or TWO_PI)
+            pieces.append(_Piece(edge, s, e, sense, 0))
+        return pieces
+
+    def _split_piece(self, p: _Piece, inner: List[float]) -> List[_Piece]:
+        """Split one boundary arc at interior angles (the _FaceSplitter
+        logic, on the cap boundary circle instead of an axial station)."""
+        if not inner:
+            return [p]
+        bounds = [p.s] + inner + [p.e]
+        verts = []
+        for i, theta in enumerate(bounds):
+            if i == 0:
+                verts.append(p.edge.v0 if p.sense > 0 else p.edge.v1)
+            elif i == len(bounds) - 1:
+                verts.append(p.edge.v1 if p.sense > 0 else p.edge.v0)
+            else:
+                verts.append(self.reg.vertex_near(self._point_at(theta)))
+        subs_ccw: List[_Piece] = []
+        w = self.cap.w
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            curve = BCurve(
+                "circle",
+                frame=Frame(self.cap.O_b.copy(), w if p.sense > 0 else -w,
+                            self.bx),
+                radius=self.cap.rho)
+            if p.sense > 0:
+                edge = BEdge(verts[i], verts[i + 1], curve, arc_span=(s, e))
+            else:
+                edge = BEdge(verts[i + 1], verts[i], curve, arc_span=(-e, -s))
+            subs_ccw.append(_Piece(edge, s, e, p.sense, 0))
+        natural = subs_ccw if p.sense > 0 else subs_ccw[::-1]
+        self.reg.substitute(p.edge, [q.edge for q in natural])
+        return subs_ccw
+
+    # -- splitting -----------------------------------------------------------
+
+    def split(self) -> Optional[List[BFace]]:
+        clip = lambda x: float(np.clip(x, -1.0, 1.0))  # noqa: E731
+        a_b = float(np.arccos(clip(self.cap.h / self.R)))
+        a_s = float(np.arccos(clip(self.g / self.R)))
+        beta = float(np.arccos(clip(self.cap.w @ self.u)))
+        m = self._MARGIN
+        if beta >= a_b + a_s - m:
+            return None  # silhouette misses the cap (or external tangency)
+        if beta + a_b <= a_s + m:
+            return None  # whole cap on the near side of the silhouette
+        if beta + a_s <= a_b - m:
+            return self._band_split()
+        if beta + a_s <= a_b + m:
+            return None  # internal tangency: grazing
+        return self._crossing_split()
+
+    def _silhouette_frame(self) -> Tuple[np.ndarray, float]:
+        O_s = self.C + self.g * self.u
+        rho_s = float(np.sqrt(max(self.R ** 2 - self.g ** 2, 0.0)))
+        return O_s, rho_s
+
+    def _band_split(self) -> List[BFace]:
+        """Silhouette circle interior to the cap: inner sub-cap + band."""
+        O_s, rho_s = self._silhouette_frame()
+        seed = np.array([1.0, 0.0, 0.0])
+        if abs(float(seed @ self.u)) > 0.9:
+            seed = np.array([0.0, 1.0, 0.0])
+        sx = _unit(seed - self.u * float(seed @ self.u))
+        start = O_s + rho_s * sx
+        v = self.reg.vertex_near(start)
+        silh = BEdge(v, v, BCurve("circle", frame=Frame(O_s, self.u, sx),
+                                  radius=rho_s), arc_span=(0.0, TWO_PI))
+        f = self.face
+        inner = BFace(SPHERE, f.frame, f.radius, f.semi_angle, f.same_sense,
+                      [[(silh, 0)]], fid=f.fid)
+        band = BFace(SPHERE, f.frame, f.radius, f.semi_angle, f.same_sense,
+                     [list(self.loop), [(silh, 1)]], fid=f.fid)
+        return [inner, band]
+
+    def _crossing_split(self) -> Optional[List[BFace]]:
+        w, u, h, g = self.cap.w, self.u, self.cap.h, self.g
+        cosb = float(w @ u)
+        sin2 = max(1.0 - cosb * cosb, 1e-12)
+        a = (h - g * cosb) / sin2
+        b = (g - h * cosb) / sin2
+        mid = a * w + b * u
+        c2 = self.R ** 2 - float(mid @ mid)
+        if c2 <= (10.0 * self.tol) ** 2:
+            return None  # numerically tangent
+        axis = _unit(np.cross(w, u))
+        c = float(np.sqrt(c2))
+        p_plus, p_minus = self.C + mid + c * axis, self.C + mid - c * axis
+
+        pieces = self._classify_pieces()
+        lo = pieces[0].s
+        cut_angles = sorted({round(_wrap(self._theta(p), lo), 9)
+                             for p in (p_plus, p_minus)})
+        split_pieces: List[_Piece] = []
+        for p in pieces:
+            inner = [c_ for base in cut_angles
+                     for c_ in (_wrap(base, p.s),)
+                     if p.s + 1e-6 < c_ < p.e - 1e-6]
+            split_pieces.extend(self._split_piece(p, sorted(inner)))
+
+        # the re-expanded walk orders the final sub-arcs with their loop
+        # orientations; the two silhouette crossings partition it into a
+        # contiguous near-side (toward the camera) and far-side run
+        walk = self.reg.expand(self.loop)
+
+        def near(item) -> bool:
+            edge = item[0]
+            piece = next((q for q in split_pieces if q.edge is edge), None)
+            if piece is not None:
+                m = self._point_at((piece.s + piece.e) / 2.0)
+            else:
+                m = midpoint_of(edge)
+            return float((m - self.C) @ u) > g
+
+        flags = [near(it) for it in walk]
+        if all(flags) or not any(flags):
+            raise UnsupportedStep("silhouette crossing did not bisect the "
+                                  "sphere boundary walk")
+        start = next(i for i in range(len(walk))
+                     if flags[i] and not flags[i - 1])
+        walk = walk[start:] + walk[:start]
+        flags = flags[start:] + flags[:start]
+        n_near = flags.index(False)
+        near_run, far_run = walk[:n_near], walk[n_near:]
+
+        # silhouette arc inside the cap, between the crossing vertices
+        O_s, _ = self._silhouette_frame()
+        sx = _unit(p_plus - O_s)
+        sy = np.cross(u, sx)
+        rho_s = float(np.linalg.norm(p_plus - O_s))
+        q = p_minus - O_s
+        phi = float(np.arctan2(q @ sy, q @ sx)) % TWO_PI or TWO_PI
+        v_plus = self.reg.vertex_near(p_plus)
+        v_minus = self.reg.vertex_near(p_minus)
+        curve = BCurve("circle", frame=Frame(O_s, u, sx), radius=rho_s)
+
+        def arc_mid(t0: float, t1: float) -> np.ndarray:
+            t = (t0 + t1) / 2.0
+            return O_s + rho_s * (np.cos(t) * sx + np.sin(t) * sy)
+
+        if float((arc_mid(0.0, phi) - self.C) @ w) > h:
+            silh = BEdge(v_plus, v_minus, curve, arc_span=(0.0, phi))
+        else:
+            silh = BEdge(v_minus, v_plus, curve, arc_span=(phi, TWO_PI))
+
+        f = self.face
+        out = []
+        for run in (near_run, far_run):
+            last_edge, last_o = run[-1]
+            end_v = last_edge.v1 if last_o == 0 else last_edge.v0
+            orient = 0 if end_v is silh.v0 else 1
+            out.append(BFace(SPHERE, f.frame, f.radius, f.semi_angle,
+                             f.same_sense, [run + [(silh, orient)]],
+                             fid=f.fid))
+        return out
+
+
+def midpoint_of(edge: BEdge) -> np.ndarray:
+    """3D midpoint of an edge along its curve (arc-aware)."""
+    if edge.curve.kind == "line":
+        return (edge.v0.point + edge.v1.point) / 2.0
+    t0, t1 = ensure_arc_span(edge)
+    t = (t0 + t1) / 2.0
+    fr = edge.curve.frame
+    return (fr.origin + edge.curve.radius
+            * (np.cos(t) * fr.x + np.sin(t) * fr.y))
+
+
 class _SplitRegistry:
     """Global edge substitutions + shared cut vertices across faces."""
 
@@ -605,6 +913,21 @@ class _SplitRegistry:
             self._verts[key] = BVertex(np.asarray(point, dtype=float))
         return self._verts[key]
 
+    def vertex_near(self, point: np.ndarray, tol: float = 1e-5) -> BVertex:
+        """Shared cut vertex by proximity: cut points computed by two
+        different splitters (a cylinder's ruling endpoint and the sphere
+        silhouette crossing of the shared boundary circle) agree only to
+        floating-point, so exact-key dedup would fracture the chain."""
+        point = np.asarray(point, dtype=float)
+        key = tuple(round(float(c), 7) for c in point)
+        if key in self._verts:
+            return self._verts[key]
+        for v in self._verts.values():
+            if float(np.max(np.abs(v.point - point))) < tol:
+                return v
+        self._verts[key] = BVertex(point)
+        return self._verts[key]
+
     def expand(self, loop: List[Tuple[BEdge, int]]) -> List[Tuple[BEdge, int]]:
         out: List[Tuple[BEdge, int]] = []
         for edge, orient in loop:
@@ -620,24 +943,31 @@ class _SplitRegistry:
 
 def split_solid(solid: BSolid, projector: NativeProjector,
                 tol: float) -> BSolid:
-    """Split every curved face along its silhouette rulings; substitute the
+    """Split every curved face along its silhouette curves; substitute the
     split arcs into every loop that references them (BRepFeat_SplitShape
-    semantics: the split modifies the whole shape, TopoMapper.py:58-83)."""
+    semantics: the split modifies the whole shape, TopoMapper.py:58-83).
+
+    Swept faces (cylinder/cone) split first, spheres after: a hemisphere on
+    a cylinder shares the equator circle, and the wall's ruling endpoints
+    land exactly on the sphere's silhouette crossings — processing spheres
+    last lets them reuse those cut vertices. A final re-expansion pass
+    updates every emitted walk through the full substitution map, so a
+    face split early still sees arcs subdivided by a later neighbor."""
     registry = _SplitRegistry()
     replaced: Dict[int, List[BFace]] = {}
-    for face in solid.faces:
-        if face.surface_kind == PLANE:
-            continue
-        subs = _FaceSplitter(face, projector, tol, registry).split()
+    curved = [f for f in solid.faces if f.surface_kind != PLANE]
+    for face in sorted(curved, key=lambda f: f.surface_kind == SPHERE):
+        if face.surface_kind == SPHERE:
+            subs = _SphereSplitter(face, projector, tol, registry).split()
+        else:
+            subs = _FaceSplitter(face, projector, tol, registry).split()
         if subs is not None:
             replaced[id(face)] = subs
     out: List[BFace] = []
     for face in solid.faces:
-        if id(face) in replaced:
-            out.extend(replaced[id(face)])  # sub-face walks are already split
-        else:
-            face.loops = [registry.expand(loop) for loop in face.loops]
-            out.append(face)
+        out.extend(replaced.get(id(face), [face]))
+    for face in out:
+        face.loops = [registry.expand(loop) for loop in face.loops]
     return BSolid(out)
 
 

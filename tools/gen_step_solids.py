@@ -14,7 +14,10 @@ data or OpenCascade:
 Families: polygon extrusions (rect / n-gon / convex / L / T / notched),
 plates with 1-3 circular through-holes (full cylindrical faces with seam
 edges — the topology whose analytic-HLR splitting and sewn-edge removal
-the native backend reproduces), full cylinders, and conical frustums.
+the native backend reproduces), full cylinders, conical frustums,
+spherical domes, and hemisphere-capped cylinders (SPHERICAL_SURFACE faces
+whose silhouette-circle splitting shares equator vertices with the wall's
+ruling cuts).
 """
 
 import argparse
@@ -58,8 +61,9 @@ def random_footprint(rng: np.random.Generator) -> np.ndarray:
 
 
 def random_step_solid(rng: np.random.Generator, name: str) -> str:
-    kind = rng.choice(["extrusion", "holes", "cylinder", "frustum"],
-                      p=[0.35, 0.35, 0.15, 0.15])
+    kind = rng.choice(["extrusion", "holes", "cylinder", "frustum",
+                       "dome", "dome_block"],
+                      p=[0.28, 0.28, 0.12, 0.12, 0.1, 0.1])
     h = float(rng.uniform(0.4, 1.2))
     if kind == "cylinder":
         return step21.brep_cylinder(float(rng.uniform(0.5, 0.9)), h, name=name)
@@ -67,6 +71,12 @@ def random_step_solid(rng: np.random.Generator, name: str) -> str:
         r0 = float(rng.uniform(0.6, 0.9))
         return step21.brep_frustum(r0, r0 * float(rng.uniform(0.4, 0.8)), h,
                                    name=name)
+    if kind == "dome":
+        r = float(rng.uniform(0.5, 0.9))
+        return step21.brep_dome(r, r * float(rng.uniform(0.5, 1.5)), name=name)
+    if kind == "dome_block":
+        return step21.brep_dome_block(float(rng.uniform(0.45, 0.8)), h,
+                                      name=name)
     poly = random_footprint(rng)
     holes = []
     if kind == "holes":
