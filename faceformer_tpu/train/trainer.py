@@ -296,9 +296,9 @@ class Harness:
         if self.cfg.decode.sort_eval:
             # complexity-sorted batches: each batch decodes until its
             # deepest row retires, so grouping similar edge counts cuts
-            # wasted steps (measured 3.07x serving throughput on the rich
-            # test split). Samples keep their `id`, so raw-data lookups
-            # and prediction JSONs are unaffected.
+            # wasted steps (measured ratio: benchmarks/serving.json,
+            # latest full-split window). Samples keep their `id`, so
+            # raw-data lookups and prediction JSONs are unaffected.
             order = sorted(range(len(ds)), key=lambda i: ds[i]["num_input"])
             items = [ds[i] for i in order]
         return ds, iter_batches(items, batch_size, pad_to_full=True)
