@@ -41,6 +41,27 @@ class CheckpointManager:
         if os.path.exists(self._index_path):
             with open(self._index_path) as f:
                 self._index = json.load(f)
+            # checkpoint weights are large and gitignored, so an index
+            # resumed across an environment boundary can list entries whose
+            # data dirs no longer exist (only the small .meta.json sidecars
+            # survive in git) — restoring such an entry is a guaranteed
+            # FileNotFoundError. Drop them, and their orphaned sidecars.
+            repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            live, stale = [], []
+            for e in self._index.get("top", []):
+                path = e[1]
+                full = path if os.path.isabs(path) else os.path.join(repo_root, path)
+                (live if os.path.isdir(full) else stale).append(e)
+            if stale:
+                self._index["top"] = live
+                for e in stale:
+                    path = e[1]
+                    full = path if os.path.isabs(path) else os.path.join(repo_root, path)
+                    if os.path.exists(full + ".meta.json"):
+                        os.remove(full + ".meta.json")
+                with open(self._index_path, "w") as f:
+                    json.dump(self._index, f, indent=1)
 
     # -- low-level tree io ---------------------------------------------------
     #

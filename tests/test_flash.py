@@ -1,5 +1,14 @@
 """Flash-attention custom-VJP kernel: forward + gradient parity against the
-XLA reference implementation (interpreter mode on CPU)."""
+XLA reference implementation (interpreter mode on CPU; the compiled kernel
+on TPU hardware).
+
+On TPU the parity comparisons run under fp32 matmul precision: the XLA
+reference otherwise lowers fp32 matmuls to single-pass bf16 on the MXU,
+which adds ~4e-3 noise vs the kernel's fp32-accumulated dots (measured
+2026-08-19; the CPU-calibrated 3e-5 tolerances are meaningless against
+that). Gradient tolerances stay modestly looser on TPU because the
+flash backward recomputes attention in a different association order
+than autodiff's saved-activation replay."""
 
 import numpy as np
 import pytest
@@ -8,6 +17,10 @@ import jax
 import jax.numpy as jnp
 
 from faceformer_tpu.ops.flash import flash_attention, padding_mask_bias
+
+ON_TPU = jax.default_backend() == "tpu"
+INTERPRET = not ON_TPU  # exercise the compiled kernel on real hardware
+GRAD_ATOL = 2e-4 if ON_TPU else 3e-5
 
 
 def reference(q, k, v, bias, causal=False):
@@ -38,8 +51,9 @@ class TestFlashForward:
     @pytest.mark.parametrize("causal", [False, True])
     def test_matches_reference(self, inputs, causal):
         q, k, v, bias = inputs
-        got = flash_attention(q, k, v, bias, causal=causal, interpret=True)
-        want = reference(q, k, v, bias, causal)
+        with jax.default_matmul_precision("float32"):
+            got = flash_attention(q, k, v, bias, causal=causal, interpret=INTERPRET)
+            want = reference(q, k, v, bias, causal)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
@@ -49,17 +63,18 @@ class TestFlashBackward:
         q, k, v, bias = inputs
 
         def loss_flash(q, k, v):
-            out = flash_attention(q, k, v, bias, causal=causal, interpret=True)
+            out = flash_attention(q, k, v, bias, causal=causal, interpret=INTERPRET)
             return jnp.sum(jnp.sin(out))  # nontrivial cotangents
 
         def loss_ref(q, k, v):
             return jnp.sum(jnp.sin(reference(q, k, v, bias, causal)))
 
-        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        with jax.default_matmul_precision("float32"):
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b, name in zip(g_flash, g_ref, "qkv"):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=3e-5,
+                np.asarray(a), np.asarray(b), atol=GRAD_ATOL,
                 err_msg=f"grad mismatch for {name}")
 
     def test_value_and_grad_jits(self, inputs):
@@ -67,7 +82,8 @@ class TestFlashBackward:
 
         @jax.jit
         def f(q, k, v):
-            return jnp.sum(flash_attention(q, k, v, bias, causal=False, interpret=True) ** 2)
+            return jnp.sum(flash_attention(q, k, v, bias, causal=False,
+                                           interpret=INTERPRET) ** 2)
 
         val, grads = jax.value_and_grad(f)(q, k, v)
         assert np.isfinite(float(val))
@@ -94,9 +110,10 @@ class TestFlashInModel:
 
         try:
             ops.enable(False)  # kernels-off baseline, even on TPU
-            g_base = jax.grad(loss_fn)(params)
-            ops.enable(True)
-            g_flash = jax.grad(loss_fn)(params)
+            with jax.default_matmul_precision("float32"):
+                g_base = jax.grad(loss_fn)(params)
+                ops.enable(True)
+                g_flash = jax.grad(loss_fn)(params)
         finally:
             ops.enable(None)  # restore the platform default for later tests
         for (path, a), (_, b) in zip(

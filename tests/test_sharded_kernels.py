@@ -39,6 +39,15 @@ from faceformer_tpu.ops.flash import flash_attention, padding_mask_bias
 from faceformer_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from faceformer_tpu.train.loss import pointer_cross_entropy
 
+# These tests validate SHARDING semantics and need the >=8-device virtual
+# CPU mesh from conftest; under FACEFORMER_TEST_TPU=1 the backend is the
+# single tunneled chip, which cannot form the meshes (tools/run_tpu_tests.py
+# records them as skipped there — the kernel-on-hardware coverage lives in
+# test_flash/test_pallas/test_fused_decode).
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs >=8 devices (virtual CPU mesh); single-chip backend")
+
 
 @pytest.fixture(autouse=True)
 def _force_kernels():

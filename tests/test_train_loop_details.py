@@ -170,6 +170,29 @@ class TestTopKTieBreak:
         assert mgr._index["top"] == []
         assert mgr._index["last"].endswith("last")
 
+    def test_stale_index_entries_pruned_on_init(self, tmp_path):
+        # checkpoint weights are gitignored; an index carried across a round
+        # boundary can list entries whose data dirs are gone (only the
+        # .meta.json sidecars survive). Regression: best_ckpt picked such an
+        # entry and the test run died on FileNotFoundError at restore.
+        import os
+        import shutil as _shutil
+
+        from faceformer_tpu.config import Config
+
+        mgr = CheckpointManager(str(tmp_path), top_k=2)
+        cfg = Config()
+        tree = {"w": jnp.zeros((2,))}
+        mgr.save(tree, cfg, 1, metric_value=0.9)
+        mgr.save(tree, cfg, 2, metric_value=0.8)
+        gone = [e[1] for e in mgr._index["top"] if "epoch=1-" in e[1]][0]
+        _shutil.rmtree(gone)  # simulate the round-boundary weight loss
+
+        fresh = CheckpointManager(str(tmp_path), top_k=2)
+        assert all("epoch=1-" not in e[1] for e in fresh._index["top"])
+        assert not os.path.exists(gone + ".meta.json")
+        assert CheckpointManager.restore_tree(fresh.best_path()) is not None
+
     def test_top_k_negative_keeps_all(self, tmp_path):
         # Lightning save_top_k=-1: every scored checkpoint is kept
         from faceformer_tpu.config import Config

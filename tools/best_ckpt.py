@@ -8,10 +8,16 @@ import sys
 
 def best_ckpt(log_dir: str) -> str:
     index = os.path.join(log_dir, "checkpoints", "index.json")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(index) as f:
         idx = json.load(f)
-    if idx.get("top"):
-        return max(idx["top"], key=lambda e: (e[0], e[2] if len(e) > 2 else 0))[1]
+    # checkpoint weights are gitignored, so an index carried across a round
+    # boundary can list entries whose data dirs no longer exist — only pick
+    # checkpoints that are actually restorable
+    live = [e for e in idx.get("top", ())
+            if os.path.isdir(os.path.join(repo, e[1]))]
+    if live:
+        return max(live, key=lambda e: (e[0], e[2] if len(e) > 2 else 0))[1]
     return idx["last"]
 
 
