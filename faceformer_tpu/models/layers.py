@@ -24,6 +24,7 @@ TPU-first departures from the reference:
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Dict, Optional
 
@@ -133,12 +134,37 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
+_DROPOUT_BITS_ENV = os.environ.get("FACEFORMER_DROPOUT_BITS", "32").strip()
+if _DROPOUT_BITS_ENV not in ("8", "16", "32"):
+    raise ValueError(
+        f"FACEFORMER_DROPOUT_BITS={_DROPOUT_BITS_ENV!r} not understood; "
+        "use 8, 16 or 32")
+#: Random-bit width per dropout mask element. 32 = jax.random.bernoulli
+#: (fp32 uniform < keep, ~2^-24 keep-prob granularity) — the production
+#: default, matching the reference's semantics. 8/16 = threshold on
+#: uint8/uint16 random bits: 4x/2x less PRNG output per mask (keep prob
+#: quantized to 1/256: 0.8 -> 204/256 = 0.796875). Measured at flagship
+#: dims (benchmarks/dropout_step.json): bits8 is 25 ms (-11%) faster
+#: forward-only but a NULL at the full fwd+bwd step (567.9 vs 568.0 ms) —
+#: the mask-PRNG saving hides in backward-pass scheduling bubbles. Since
+#: eval runs no dropout and training runs fwd+bwd, no production path
+#: benefits, so the default stays 32; the knob remains for future remat/
+#: fusion changes that could re-expose the forward saving.
+DROPOUT_BITS = int(_DROPOUT_BITS_ENV)
+
+_BIT_DTYPES = {8: jnp.uint8, 16: jnp.uint16}
+
+
 def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
     """Inverted dropout; identity when rng is None (eval) or rate == 0."""
     if rng is None or rate <= 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    if DROPOUT_BITS == 32:
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+    else:
+        thresh = int(round(keep * (1 << DROPOUT_BITS)))
+        mask = jax.random.bits(rng, x.shape, _BIT_DTYPES[DROPOUT_BITS]) < thresh
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

@@ -105,6 +105,29 @@ class TestForwardTrain:
         out4 = SurfaceFormer.forward_train(params, cfg, batch)
         np.testing.assert_array_equal(np.asarray(out3["pointer"]), np.asarray(out4["pointer"]))
 
+    @pytest.mark.parametrize("bits", [8, 16, 32])
+    def test_dropout_bit_widths(self, bits, monkeypatch):
+        """The bit-threshold variants keep dropout's contract: deterministic
+        given the key, inverse-scaled survivors, empirical drop rate within
+        sampling noise of the (quantized) nominal rate."""
+        from faceformer_tpu.models import layers
+
+        monkeypatch.setattr(layers, "DROPOUT_BITS", bits)
+        rate = 0.2
+        x = jnp.ones((256, 256), jnp.float32)
+        key = jax.random.PRNGKey(3)
+        a = np.asarray(layers.dropout(x, rate, key))
+        b = np.asarray(layers.dropout(x, rate, key))
+        np.testing.assert_array_equal(a, b)
+        keep = 1.0 - rate
+        survivors = a[a != 0.0]
+        np.testing.assert_allclose(survivors, 1.0 / keep, rtol=1e-6)
+        # quantized keep prob: round(keep * 2^bits) / 2^bits for 8/16
+        nominal = (round(keep * (1 << bits)) / (1 << bits)
+                   if bits < 32 else keep)
+        frac = survivors.size / a.size
+        assert abs(frac - nominal) < 0.005, (frac, nominal)
+
 
 # ---------------------------------------------------------------------------
 # naive decoders mirroring the reference eval loops literally
