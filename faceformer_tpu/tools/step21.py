@@ -197,9 +197,9 @@ def parse_step_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> Dict[int, T
 # ---------------------------------------------------------------------------
 
 # face_type ints follow OCC's GeomAbs enum, which the reference stores
-# verbatim (Face.py:18-24): Plane=0, Cylinder=1, Cone=2, Sphere=3, ...
+# verbatim (Face.py:18-24): Plane=0, Cylinder=1, Cone=2, Sphere=3, Torus=4
 # (labels clamp every type >= 2 to "Other", data_para.py:76-80)
-PLANE, CYLINDER, CONE, SPHERE = 0, 1, 2, 3
+PLANE, CYLINDER, CONE, SPHERE, TORUS = 0, 1, 2, 3, 4
 
 
 @dataclass
@@ -222,12 +222,16 @@ class BVertex:
 
 @dataclass(eq=False)
 class BCurve:
-    kind: str  # 'line' | 'circle'
-    # line: point + unit direction; circle: frame + radius
+    kind: str  # 'line' | 'circle' | 'poly'
+    # line: point + unit direction; circle: frame + radius;
+    # poly: sampled 3D polyline ``points`` (N,3) — the representation of
+    # non-circular silhouette curves (a torus outline is a quartic; OCC's
+    # HLR hands these over as discretized outline edges too)
     point: Optional[np.ndarray] = None
     direction: Optional[np.ndarray] = None
     frame: Optional[Frame] = None
     radius: float = 0.0
+    points: Optional[np.ndarray] = None
 
 
 @dataclass(eq=False)
@@ -251,13 +255,14 @@ class BFace:
     Bound orientation and ORIENTED_EDGE orientation are folded in, so a
     loop is the face's actual ordered boundary walk."""
 
-    surface_kind: int  # PLANE / CYLINDER / CONE
+    surface_kind: int  # PLANE / CYLINDER / CONE / SPHERE / TORUS
     frame: Frame
-    radius: float  # cylinder/cone station radius at frame origin
+    radius: float  # cylinder/cone station radius; sphere/torus major radius
     semi_angle: float  # cone only
     same_sense: bool
     loops: List[List[Tuple[BEdge, int]]]
     fid: int = 0
+    radius2: float = 0.0  # torus only: minor (tube) radius
 
 
 @dataclass(eq=False)
@@ -418,14 +423,24 @@ class _Resolver:
             semi_angle = float(surf.args[3])
         elif surf.name == "SPHERICAL_SURFACE":
             kind, frame, radius = SPHERE, self.frame(surf.args[1]), float(surf.args[2])
+        elif surf.name == "TOROIDAL_SURFACE":
+            if len(surf.args) < 4:
+                raise UnsupportedStep("malformed TOROIDAL_SURFACE entity")
+            kind, frame, radius = TORUS, self.frame(surf.args[1]), float(surf.args[2])
+            radius2 = float(surf.args[3])
+            if not 0.0 < radius2 < radius:
+                raise UnsupportedStep(
+                    "only ring tori (0 < minor < major) are in the native "
+                    "subset; use the OCC backend")
         else:
             raise UnsupportedStep(
                 f"surface {surf.name} is outside the native subset "
-                "(PLANE/CYLINDRICAL_SURFACE/CONICAL_SURFACE/SPHERICAL_SURFACE); "
-                "use the OCC backend")
+                "(PLANE/CYLINDRICAL_SURFACE/CONICAL_SURFACE/SPHERICAL_SURFACE/"
+                "TOROIDAL_SURFACE); use the OCC backend")
         loops = [self.loop(b) for b in bounds]
         return BFace(kind, frame, radius, semi_angle,
-                     same_sense in (".T.", True), loops, fid=int(ref))
+                     same_sense in (".T.", True), loops, fid=int(ref),
+                     radius2=radius2 if surf.name == "TOROIDAL_SURFACE" else 0.0)
 
     def solids(self) -> List[BSolid]:
         out = []
@@ -568,6 +583,11 @@ class StepBuilder:
         return self.emit(
             f"SPHERICAL_SURFACE('',{self.axis2(center, axis, x)},{self._fmt(radius)})")
 
+    def torus(self, center, axis, x, major, minor) -> str:
+        return self.emit(
+            f"TOROIDAL_SURFACE('',{self.axis2(center, axis, x)},"
+            f"{self._fmt(major)},{self._fmt(minor)})")
+
     def solid(self, face_refs: Sequence[str], name="solid") -> str:
         shell = self.emit(f"CLOSED_SHELL('',({','.join(face_refs)}))")
         return self.emit(f"MANIFOLD_SOLID_BREP('{name}',{shell})")
@@ -705,6 +725,77 @@ def brep_dome_block(radius: float, height: float,
         b.face([wall], b.cylinder(c0, _Z, x_axis, radius)),
         b.face([[(circ0, False)]], b.plane(c0, -_Z)),
         b.face([[(circ1, True)]], b.sphere(c1, _Z, x_axis, radius)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_torus(major: float, minor: float, name: str = "torus") -> str:
+    """A full ring torus (donut), axis +z, center the origin, split into
+    an outer (v in [-pi/2, pi/2]) and an inner (v in [pi/2, 3pi/2]) band —
+    the two-face topology OCC produces for a revolved tube. Each band's
+    u-seam is a half tube circle at u = 0 used twice in its wire (sewn);
+    the bands share the top/bottom extreme circles."""
+    if not 0.0 < minor < major:
+        raise UnsupportedStep("only ring tori (0 < minor < major)")
+    b = StepBuilder()
+    x_axis = np.array([1.0, 0.0, 0.0])
+    neg_y = np.array([0.0, -1.0, 0.0])
+    c_top, c_bot = np.array([0, 0, minor]), np.array([0, 0, -minor])
+    t_ring = np.array([major, 0.0, minor])    # (u=0, v=+pi/2)
+    b_ring = np.array([major, 0.0, -minor])   # (u=0, v=-pi/2)
+    tube_c = np.array([major, 0.0, 0.0])
+    circ_top = b.circle_edge(c_top, _Z, x_axis, major, t_ring, t_ring)
+    circ_bot = b.circle_edge(c_bot, _Z, x_axis, major, b_ring, b_ring)
+    # tube circle at u=0 with axis -y: angle t sweeps x cos t + z sin t,
+    # so CCW b_ring(-pi/2) -> t_ring(+pi/2) passes the outer point (v = t)
+    seam_out = b.circle_edge(tube_c, neg_y, x_axis, minor, b_ring, t_ring)
+    seam_in = b.circle_edge(tube_c, neg_y, x_axis, minor, t_ring, b_ring)
+    surf = b.torus(np.zeros(3), _Z, x_axis, major, minor)
+    faces = [
+        b.face([[(circ_bot, True), (seam_out, True),
+                 (circ_top, False), (seam_out, False)]], surf),
+        b.face([[(circ_top, True), (seam_in, True),
+                 (circ_bot, False), (seam_in, False)]], surf),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_round_top_cylinder(radius: float, height: float, fillet: float,
+                            name: str = "round_top") -> str:
+    """A cylinder whose top rim is rounded by a quarter-torus fillet — the
+    canonical CAD use of a toroidal face. Bottom disc, cylindrical wall
+    (line seam), fillet band (v in [0, pi/2], tube-arc seam) tangent to the
+    wall along their shared circle, top disc of radius ``radius - fillet``."""
+    # the fillet torus has major = radius - fillet, minor = fillet, so a
+    # ring torus (minor < major) needs fillet < radius / 2
+    if not 0.0 < fillet < radius / 2:
+        raise UnsupportedStep("fillet must be in (0, radius/2) for a ring torus")
+    b = StepBuilder()
+    x_axis = np.array([1.0, 0.0, 0.0])
+    neg_y = np.array([0.0, -1.0, 0.0])
+    major = radius - fillet
+    c0, c_mid = np.array([0.0, 0.0, 0.0]), np.array([0.0, 0.0, height])
+    c_small = np.array([0.0, 0.0, height + fillet])
+    p0 = np.array([radius, 0.0, 0.0])
+    p_mid = np.array([radius, 0.0, height])           # (u=0, v=0)
+    p_small = np.array([major, 0.0, height + fillet])  # (u=0, v=pi/2)
+    tube_c = np.array([major, 0.0, height])
+    circ_bot = b.circle_edge(c0, _Z, x_axis, radius, p0, p0)
+    circ_mid = b.circle_edge(c_mid, _Z, x_axis, radius, p_mid, p_mid)
+    circ_small = b.circle_edge(c_small, _Z, x_axis, major, p_small, p_small)
+    seam_line = b.line_edge(p0, p_mid)
+    seam_arc = b.circle_edge(tube_c, neg_y, x_axis, fillet, p_mid, p_small)
+    faces = [
+        b.face([[(seam_line, True), (circ_mid, False),
+                 (seam_line, False), (circ_bot, True)]],
+               b.cylinder(c0, _Z, x_axis, radius)),
+        b.face([[(circ_mid, True), (seam_arc, True),
+                 (circ_small, False), (seam_arc, False)]],
+               b.torus(c_mid, _Z, x_axis, major, fillet)),
+        b.face([[(circ_bot, False)]], b.plane(c0, -_Z)),
+        b.face([[(circ_small, True)]], b.plane(c_small, _Z)),
     ]
     b.solid(faces, name=name)
     return b.text(f"{name}.step")

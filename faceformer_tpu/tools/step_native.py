@@ -2,18 +2,21 @@
 tools/prepare_data.py.
 
 Reproduces the reference generation algorithm (dataset/prepare_data.py,
-dataset/utils/TopoMapper.py) for plane/cylinder/cone B-Reps WITHOUT
-OpenCascade, using the Part 21 reader in ``step21.py``:
+dataset/utils/TopoMapper.py) for plane/cylinder/cone/sphere/torus B-Reps
+WITHOUT OpenCascade, using the Part 21 reader in ``step21.py``:
 
   1. bbox-normalize the solid (center + scale so the extent diagonal is 2,
      reference prepare_data.py:294-300);
   2. analytic hidden-line-removal outline computation: the silhouette
-     rulings of every cylindrical/conical face under the camera (the only
-     outline curves plane/cylinder/cone solids have — OCC's
-     OutLineVCompound3d, TopoMapper.py:38-43), and face splitting along
-     them (TopoMapper.py:58-83 does this through BRepFeat_SplitShape;
-     here the split is exact: arcs divide at the silhouette angles and
-     new ruling edges bound the sub-faces);
+     rulings of every cylindrical/conical face, the silhouette circles of
+     spherical faces, and the traced silhouette branches of toroidal
+     bands under the camera (the outline curves OCC's OutLineVCompound3d
+     finds, TopoMapper.py:38-43), and face splitting along them
+     (TopoMapper.py:58-83 does this through BRepFeat_SplitShape; here
+     the split is exact for ruled/spherical faces — arcs divide at the
+     silhouette angles and new ruling/arc edges bound the sub-faces —
+     and deflection-sampled polylines for torus outlines, which are
+     quartics OCC's HLR also hands over discretized);
   3. topology mapping: ordered oriented edge loops per face -> shared
      EdgeRecord/FaceRecord graph (TopoMapper.py:85-116);
   4. edge discretization (deflection-controlled arc sampling, OCC
@@ -23,9 +26,11 @@ OpenCascade, using the Part 21 reader in ``step21.py``:
      OCC backend uses (TopoMapper._remove_sewn_edges — inherited, it is
      pure record arithmetic; reference TopoMapper.py:118-185).
 
-Surfaces/curves outside the plane/cylinder/cone + line/circle subset
-raise step21.UnsupportedStep, routing those shapes to the optional OCC
-backend.
+Surfaces/curves outside the plane/cylinder/cone/sphere/ring-torus +
+line/circle subset — and torus view configurations the analytic sweep
+cannot certify (silhouette islands from a near camera, grazing
+tangencies, partial-revolution bands) — raise step21.UnsupportedStep,
+routing those shapes to the optional OCC backend.
 """
 
 from __future__ import annotations
@@ -38,7 +43,7 @@ import numpy as np
 from faceformer_tpu.tools import step21
 from faceformer_tpu.tools.step21 import (
     BCurve, BEdge, BFace, BSolid, BVertex, Frame, UnsupportedStep,
-    CONE, CYLINDER, PLANE, SPHERE,
+    CONE, CYLINDER, PLANE, SPHERE, TORUS,
 )
 from faceformer_tpu.tools.occ_pipeline import (
     EdgeRecord, FaceRecord, ProjectionArgs, TopoMapper,
@@ -82,6 +87,9 @@ def discretize_bedge(edge: BEdge, tol: float,
     (reference: OCC.Extend.TopologyUtils.discretize_edge(edge, tol))."""
     if edge.curve.kind == "line":
         return np.stack([edge.v0.point, edge.v1.point])
+    if edge.curve.kind == "poly":
+        # silhouette polylines carry their own tol-deflection sampling
+        return np.asarray(edge.curve.points, dtype=float)
     c = edge.curve
     t0, t1 = ensure_arc_span(edge)
     r = max(c.radius, 1e-12)
@@ -108,20 +116,78 @@ def solid_bbox(solid: BSolid, tol: float = 1e-3) -> Tuple[np.ndarray, np.ndarray
     pts = [np.concatenate([discretize_bedge(e, tol, max_points=128)
                            for e in solid.edges()])]
     for face in solid.faces:
-        if face.surface_kind != SPHERE:
-            continue
-        # a sphere cap bulges past its boundary edges: include the cap pole
-        # (or, unclassifiable caps, the conservative full-sphere corners)
-        try:
-            cap = _sphere_cap(face, face.loops[0])
-            pts.append(face.frame.origin[None, :]
-                       + face.radius * cap.w[None, :])
-        except UnsupportedStep:
-            corner = np.full(3, face.radius)
-            pts.append(np.stack([face.frame.origin - corner,
-                                 face.frame.origin + corner]))
+        if face.surface_kind == SPHERE:
+            # a sphere cap bulges past its boundary edges: include the cap
+            # pole (or, unclassifiable caps, the conservative full-sphere
+            # corners)
+            try:
+                cap = _sphere_cap(face, face.loops[0])
+                pts.append(face.frame.origin[None, :]
+                           + face.radius * cap.w[None, :])
+            except UnsupportedStep:
+                corner = np.full(3, face.radius)
+                pts.append(np.stack([face.frame.origin - corner,
+                                     face.frame.origin + corner]))
+        elif face.surface_kind == TORUS:
+            pts.append(_torus_band_extremes(face))
     pts = np.concatenate(pts)
     return pts.min(axis=0), pts.max(axis=0)
+
+
+def _torus_band_extremes(face: BFace, samples: int = 256) -> np.ndarray:
+    """Axis-aligned extreme points of a full-revolution torus band: for a
+    band v in [v0, v0+H] the surface is C + rho(v) e_r(u) + z(v) Z swept
+    over all u, so the per-world-axis extent is max_v (rho(v) s_i +- z(v)
+    Z_i) with s_i = |projection of world axis i onto the torus plane| —
+    exact in u, sampled in v. Falls back to the full-torus bound when the
+    band's v-interval cannot be classified."""
+    f, R, r = face.frame, face.radius, face.radius2
+    try:
+        v0, H = _torus_vrange(face)
+        v = v0 + np.linspace(0.0, H, samples)
+    except UnsupportedStep:
+        v = np.linspace(0.0, TWO_PI, samples)
+    rho, z = R + r * np.cos(v), r * np.sin(v)
+    zax = f.z
+    s = np.sqrt(np.maximum(1.0 - zax * zax, 0.0))  # per-axis in-plane reach
+    hi = (rho[:, None] * s[None, :] + z[:, None] * zax[None, :]).max(axis=0)
+    lo = (-rho[:, None] * s[None, :] + z[:, None] * zax[None, :]).min(axis=0)
+    return np.stack([f.origin + lo, f.origin + hi])
+
+
+def _torus_vrange(face: BFace) -> Tuple[float, float]:
+    """(v_start, H): the tube-angle interval of a torus band face, derived
+    from its seam arc (the tube circle at u = 0 used twice in the wire)."""
+    C, R, r = face.frame.origin, face.radius, face.radius2
+    zax = face.frame.z
+    counts: Dict[int, int] = {}
+    edges: Dict[int, BEdge] = {}
+    for loop in face.loops:
+        for edge, _ in loop:
+            counts[id(edge)] = counts.get(id(edge), 0) + 1
+            edges[id(edge)] = edge
+    for key, edge in edges.items():
+        if counts[key] < 2 or edge.curve.kind != "circle":
+            continue
+        if abs(edge.curve.radius - r) > 1e-6:
+            continue
+        off = edge.curve.frame.origin - C
+        if abs(float(off @ zax)) > 1e-6:
+            continue
+        if abs(float(np.linalg.norm(off - (off @ zax) * zax)) - R) > 1e-6:
+            continue
+        def v_of(p):
+            q = p - C
+            zc = float(q @ zax)
+            rad = float(np.linalg.norm(q - zc * zax))
+            return float(np.arctan2(zc / r, (rad - R) / r))
+        va, vb = v_of(edge.v0.point), v_of(edge.v1.point)
+        vm = v_of(midpoint_of(edge))
+        H = (vb - va) % TWO_PI or TWO_PI
+        if (vm - va) % TWO_PI <= H:
+            return va, H
+        return vb, (va - vb) % TWO_PI or TWO_PI
+    raise UnsupportedStep("torus band without a classifiable tube seam")
 
 
 def normalize_solid(solid: BSolid) -> float:
@@ -140,6 +206,7 @@ def normalize_solid(solid: BSolid) -> float:
             seen.add(id(face.frame))
             face.frame.origin = _move(face.frame.origin)
         face.radius *= scale
+        face.radius2 *= scale
         for loop in face.loops:
             for edge, _ in loop:
                 if id(edge) in seen:
@@ -155,6 +222,8 @@ def normalize_solid(solid: BSolid) -> float:
                     seen.add(id(c))
                     if c.kind == "line":
                         c.point = _move(c.point)
+                    elif c.kind == "poly":
+                        c.points = _move(np.asarray(c.points, dtype=float))
                     else:
                         c.radius *= scale
                         if id(c.frame) not in seen:
@@ -878,10 +947,669 @@ class _SphereSplitter:
         return out
 
 
+# ---------------------------------------------------------------------------
+# toroidal faces: band classification + silhouette-curve splitting
+# ---------------------------------------------------------------------------
+#
+# A torus point is P(u, v) = C + (R + r cos v) e_r(u) + r sin v Z with
+# e_r(u) = cos u X + sin u Y; the outward normal is N = cos v e_r + sin v Z.
+# The HLR silhouette condition N . (P - E) = 0 (perspective, eye E) or
+# N . d = 0 (orthographic) reduces to
+#
+#     a(u) cos v + b sin v = c,   a(u) = alpha cos u + beta sin u + gamma
+#
+# (orthographic: alpha,beta = d.X, d.Y, gamma = 0, b = d.Z, c = 0;
+# perspective with k = C - E: alpha,beta = k.X, k.Y, gamma = R, b = k.Z,
+# c = -r). For fixed u this is the same one-harmonic equation the
+# cylinder/cone/sphere silhouettes solve, so every derived event — where
+# the silhouette meets a boundary circle (v = const) or the u-seam
+# (u = const) — is analytic via _solve_silhouette. Between events the
+# silhouette branches are graphs v(u), sampled into polyline edges (OCC's
+# HLR also hands torus outlines over as discretized curves; reference
+# TopoMapper.py:38-43). Faces are the regions of the band's (u, v)
+# rectangle cut by those curves, recovered by half-edge tracing.
+
+
+@dataclass
+class _TracePiece:
+    """One undirected subdivision edge in band coordinates: ``uw`` is the
+    (u, w) polyline in the BEdge's natural direction with u unwrapped
+    (consecutive deltas small), w = v - v_bot in [0, H]."""
+
+    edge: BEdge
+    uw: np.ndarray
+
+    @property
+    def du(self) -> float:
+        return float(self.uw[-1, 0] - self.uw[0, 0])
+
+
+class _BandTracer:
+    """Face tracing over a subdivision of the (u, w) band annulus.
+
+    Directed half-edges are (piece, dir); at each head vertex the next
+    half-edge is the first outgoing direction reached rotating CLOCKWISE
+    from the reversed arrival direction, which traverses every region
+    boundary with the interior on the LEFT (counterclockwise cycles for
+    disc regions; wrapping cycles carry their side in the sign of the
+    total u advance)."""
+
+    def __init__(self, pieces: List[_TracePiece]):
+        self.pieces = pieces
+        self.out: Dict[int, List[Tuple[_TracePiece, int]]] = {}
+        for p in pieces:
+            self.out.setdefault(id(p.edge.v0), []).append((p, +1))
+            self.out.setdefault(id(p.edge.v1), []).append((p, -1))
+
+    @staticmethod
+    def _tail(half) -> int:
+        p, d = half
+        return id(p.edge.v0 if d > 0 else p.edge.v1)
+
+    @staticmethod
+    def _head(half) -> int:
+        p, d = half
+        return id(p.edge.v1 if d > 0 else p.edge.v0)
+
+    @staticmethod
+    def _angle_out(half) -> float:
+        p, d = half
+        step = (p.uw[1] - p.uw[0]) if d > 0 else (p.uw[-2] - p.uw[-1])
+        return float(np.arctan2(step[1], step[0]))
+
+    @staticmethod
+    def _angle_in(half) -> float:
+        p, d = half
+        step = (p.uw[-1] - p.uw[-2]) if d > 0 else (p.uw[0] - p.uw[1])
+        return float(np.arctan2(step[1], step[0]))
+
+    def _next(self, half):
+        rev = self._angle_in(half) + np.pi
+        best, best_delta = None, None
+        for cand in self.out[self._head(half)]:
+            delta = float((rev - self._angle_out(cand)) % TWO_PI)
+            if cand[0] is half[0] and cand[1] == -half[1]:
+                # this piece's own reverse: last resort (spur bounce). A
+                # closed silhouette wrap re-meets its start vertex where
+                # the reverse differs from continuing by only the local
+                # curve turning, whose sign must not decide the trace.
+                delta = TWO_PI
+            elif delta < 1e-12:
+                delta = TWO_PI
+            if best is None or delta < best_delta:
+                best, best_delta = cand, delta
+        if best is None:
+            raise UnsupportedStep("dangling torus subdivision vertex")
+        return best
+
+    def cycles(self) -> List[List[Tuple[_TracePiece, int]]]:
+        used = set()
+        out: List[List[Tuple[_TracePiece, int]]] = []
+        for p in self.pieces:
+            for d in (+1, -1):
+                if (id(p), d) in used:
+                    continue
+                cycle, half = [], (p, d)
+                while (id(half[0]), half[1]) not in used:
+                    used.add((id(half[0]), half[1]))
+                    cycle.append(half)
+                    half = self._next(half)
+                if half != (p, d):
+                    raise UnsupportedStep("torus face trace did not close")
+                out.append(cycle)
+        return out
+
+
+def _cycle_du(cycle) -> float:
+    return sum(d * p.du for p, d in cycle)
+
+
+def _cycle_uw(cycle) -> np.ndarray:
+    """Concatenated (u, w) polyline of a cycle, u unwrapped across pieces."""
+    runs, base = [], None
+    for p, d in cycle:
+        uw = p.uw if d > 0 else p.uw[::-1]
+        if base is None:
+            base = 0.0
+        else:
+            base = runs[-1][-1, 0] - uw[0, 0]
+        runs.append(uw + np.array([base, 0.0]))
+    return np.concatenate(runs)
+
+
+class _TorusSplitter:
+    """Split one full-revolution toroidal band face along its silhouette.
+
+    The supported boundary shape is the one a revolved tube actually has
+    (and the writer's brep_torus / brep_round_top_cylinder emit): full
+    ring circles at exactly two tube-angle stations plus one tube-arc seam
+    at u = u_s used twice in the wire. Configurations the analytic sweep
+    cannot certify (silhouette islands from a near camera, grazing
+    tangencies, partial-revolution bands) raise UnsupportedStep, routing
+    the shape to the OCC backend rather than emitting wrong topology."""
+
+    _EPS = 1e-3
+
+    def __init__(self, face: BFace, projector: NativeProjector, tol: float,
+                 registry: "_SplitRegistry"):
+        self.face, self.tol, self.reg = face, tol, registry
+        if len(face.loops) != 1:
+            raise UnsupportedStep("multi-loop torus faces need the OCC backend")
+        self.loop = registry.expand(face.loops[0])
+        f = face.frame
+        self.C, self.R, self.r = f.origin, face.radius, face.radius2
+        self.X, self.Y, self.Z = f.x, f.y, f.z
+        if not 0.0 < self.r < self.R:
+            raise UnsupportedStep("only ring tori are supported natively")
+        if projector.eye is None:
+            d = projector.n
+            self.alpha, self.beta, self.gamma = float(d @ self.X), float(d @ self.Y), 0.0
+            self.b, self.c = float(d @ self.Z), 0.0
+        else:
+            k = self.C - projector.eye
+            self.alpha, self.beta = float(k @ self.X), float(k @ self.Y)
+            self.gamma, self.b, self.c = self.R, float(k @ self.Z), -self.r
+
+    # -- torus-frame helpers -------------------------------------------------
+
+    def _point_at(self, u: float, v: float) -> np.ndarray:
+        er = np.cos(u) * self.X + np.sin(u) * self.Y
+        return (self.C + (self.R + self.r * np.cos(v)) * er
+                + self.r * np.sin(v) * self.Z)
+
+    def _theta(self, p: np.ndarray) -> float:
+        q = p - self.C
+        return float(np.arctan2(q @ self.Y, q @ self.X))
+
+    def _v_of(self, p: np.ndarray) -> float:
+        q = p - self.C
+        zc = float(q @ self.Z)
+        rad = float(np.linalg.norm(q - zc * self.Z))
+        return float(np.arctan2(zc / self.r, (rad - self.R) / self.r))
+
+    def _w_of(self, v: float) -> float:
+        return float((v - self.v_bot) % TWO_PI)
+
+    def _a(self, u: float) -> float:
+        return self.alpha * np.cos(u) + self.beta * np.sin(u) + self.gamma
+
+    def _F(self, u: float, v: float) -> float:
+        return float(self._a(u) * np.cos(v) + self.b * np.sin(v) - self.c)
+
+    def _v_solutions(self, u: float) -> List[float]:
+        a = self._a(u)
+        amp = float(np.hypot(a, self.b))
+        if amp < 1e-12 or amp < abs(self.c):
+            return []
+        phi = float(np.arctan2(self.b, a))
+        delta = float(np.arccos(np.clip(self.c / amp, -1.0, 1.0)))
+        return [phi + delta, phi - delta]
+
+    def _v_continue(self, u: float, v_prev: float) -> float:
+        sols = self._v_solutions(u)
+        if not sols:
+            raise UnsupportedStep("torus silhouette branch vanished mid-trace")
+        dist = [abs((s - v_prev + np.pi) % TWO_PI - np.pi) for s in sols]
+        return sols[int(np.argmin(dist))]
+
+    # -- boundary classification ----------------------------------------------
+
+    def _classify(self):
+        counts: Dict[int, int] = {}
+        order: List[BEdge] = []
+        for edge, _ in self.loop:
+            counts[id(edge)] = counts.get(id(edge), 0) + 1
+            if counts[id(edge)] == 1:
+                order.append(edge)
+        ring: List[Tuple[float, BEdge]] = []
+        seam: Optional[BEdge] = None
+        for edge in order:
+            if edge.curve.kind != "circle":
+                raise UnsupportedStep("torus band bounded by a non-circle edge")
+            cf = edge.curve.frame
+            off = cf.origin - self.C
+            axial = float(off @ self.Z)
+            radial = float(np.linalg.norm(off - axial * self.Z))
+            if radial < 1e-6 and abs(abs(float(cf.z @ self.Z)) - 1.0) < 1e-6:
+                sinv, cosv = axial / self.r, (edge.curve.radius - self.R) / self.r
+                if abs(sinv * sinv + cosv * cosv - 1.0) > 1e-4:
+                    raise UnsupportedStep("ring circle is not on the torus")
+                if counts[id(edge)] != 1:
+                    raise UnsupportedStep("doubly-used torus ring circle")
+                ring.append((float(np.arctan2(sinv, cosv)), edge))
+            elif (abs(axial) < 1e-6 and abs(radial - self.R) < 1e-6
+                    and abs(edge.curve.radius - self.r) < 1e-6
+                    and counts[id(edge)] == 2):
+                if seam is not None:
+                    raise UnsupportedStep("torus band with multiple seams")
+                seam = edge
+            else:
+                raise UnsupportedStep("unrecognized torus boundary circle")
+        if seam is None:
+            raise UnsupportedStep("torus band without a tube seam")
+        self.seam = seam
+        self.u_s = self._theta(midpoint_of(seam))
+
+        # band interval from the seam arc (it spans exactly the face's v's)
+        va, vb = self._v_of(seam.v0.point), self._v_of(seam.v1.point)
+        vm = self._v_of(midpoint_of(seam))
+        H = (vb - va) % TWO_PI or TWO_PI
+        if (vm - va) % TWO_PI <= H:
+            self.v_bot, self.H = va, H
+        else:
+            self.v_bot, self.H = vb, (va - vb) % TWO_PI or TWO_PI
+        self.v_top = self.v_bot + self.H
+        if self.H >= TWO_PI - 1e-6:
+            raise UnsupportedStep("degenerate full-tube torus band")
+
+        # group ring pieces into the two stations
+        self.station_pieces: Dict[int, List[BEdge]] = {0: [], 1: []}
+        for v_st, edge in ring:
+            w = self._w_of(v_st)
+            if min(w, TWO_PI - w) < 1e-5:
+                self.station_pieces[0].append(edge)
+            elif abs(w - self.H) < 1e-5:
+                self.station_pieces[1].append(edge)
+            else:
+                raise UnsupportedStep("torus ring circle off the band stations")
+        for st in (0, 1):
+            if not self.station_pieces[st]:
+                raise UnsupportedStep("torus band is missing a station circle")
+            total = 0.0
+            for edge in self.station_pieces[st]:
+                t0, t1 = ensure_arc_span(edge)
+                total += t1 - t0
+            if abs(total - TWO_PI) > 1e-5:
+                raise UnsupportedStep("partial-revolution torus bands need "
+                                      "the OCC backend")
+
+        # the lower station must run CCW (+u) in the wire: the (u, v)
+        # parametrization is right-handed w.r.t. the outward normal, so a
+        # same-sense outer wire is CCW in (u, v) (STEP FACE_OUTER_BOUND)
+        for edge, orient in self.loop:
+            if edge in self.station_pieces[0]:
+                sense = 1 if float(edge.curve.frame.z @ self.Z) > 0 else -1
+                if sense * (1 if orient == 0 else -1) != 1:
+                    raise UnsupportedStep("unexpected torus band orientation")
+                break
+
+    # -- events ---------------------------------------------------------------
+
+    def _station_crossings(self, v_st: float) -> List[float]:
+        cv, sv = float(np.cos(v_st)), float(np.sin(v_st))
+        return [float(u % TWO_PI) for u in _solve_silhouette(
+            cv * self.alpha, cv * self.beta,
+            self.c - sv * self.b - cv * self.gamma)]
+
+    def _guard_islands(self) -> bool:
+        """True if silhouette branches exist for every u (no islands). When
+        they do not, require the partial branches to stay out of the band
+        (else raise); returns False meaning 'nothing to split'."""
+        ra = float(np.hypot(self.alpha, self.beta))
+        lo, hi = self.gamma - ra, self.gamma + ra
+        min_abs_a = 0.0 if lo <= 0.0 <= hi else min(abs(lo), abs(hi))
+        min_amp = float(np.hypot(min_abs_a, self.b))
+        if min_amp > abs(self.c) + self._EPS:
+            return True
+        for u in np.linspace(0.0, TWO_PI, 512, endpoint=False):
+            for v in self._v_solutions(float(u)):
+                w = self._w_of(v)
+                if self._EPS < w < self.H - self._EPS:
+                    raise UnsupportedStep(
+                        "torus silhouette islands (camera too close); "
+                        "use the OCC backend")
+        return False
+
+    # -- silhouette tracing -----------------------------------------------------
+
+    def _crossing_side(self, u_e: float, v_st: float) -> int:
+        """+1 if the in-band silhouette leaves the crossing toward +u."""
+        sides = []
+        for sgn in (+1, -1):
+            v = self._v_continue(u_e + sgn * self._EPS, v_st)
+            w = self._w_of(v)
+            if min(w, abs(w - TWO_PI)) > 1e-9 and w < self.H:
+                sides.append(sgn)
+        if len(sides) != 1:
+            raise UnsupportedStep("tangential torus silhouette crossing")
+        return sides[0]
+
+    def _refine(self, pts: List[Tuple[float, float]], depth: int = 0):
+        """Chordal-deflection refinement of a (u, v) sample pair list."""
+        (u0, v0), (u1, v1) = pts
+        if depth >= 7:
+            return [pts[0]]
+        um = (u0 + u1) / 2.0
+        vm = self._v_continue(um, (v0 + v1) / 2.0)
+        p0, p1, pm = (self._point_at(u0, v0), self._point_at(u1, v1),
+                      self._point_at(um, vm))
+        chord = p1 - p0
+        t = float(np.clip((pm - p0) @ chord / max(chord @ chord, 1e-18), 0, 1))
+        if float(np.linalg.norm(pm - (p0 + t * chord))) <= self.tol:
+            return [pts[0]]
+        return (self._refine([(u0, v0), (um, vm)], depth + 1)
+                + self._refine([(um, vm), (u1, v1)], depth + 1))
+
+    def _trace_piece(self, vertex_key: int, direction: int):
+        """Follow the in-band silhouette from a vertex until the next
+        vertex; returns (samples, end_vertex_key). Samples are (u, v) with
+        u unwrapped (monotone in ``direction``)."""
+        u0, v0 = self.v_coords[vertex_key]
+        cuts = sorted(self.cut_us)
+        samples = [(u0, v0)]
+        u, v = u0, v0
+        traveled = 0.0
+        while traveled < TWO_PI + 1e-6:
+            # next cut-u strictly ahead in ``direction``
+            if direction > 0:
+                ahead = [cu for cu in cuts if cu > (u % TWO_PI) + 1e-9]
+                nxt = (ahead[0] if ahead else cuts[0] + TWO_PI)
+                du_next = nxt - (u % TWO_PI)
+            else:
+                behind = [cu for cu in cuts if cu < (u % TWO_PI) - 1e-9]
+                nxt = (behind[-1] if behind else cuts[-1] - TWO_PI)
+                du_next = (u % TWO_PI) - nxt
+            steps = max(1, int(np.ceil(du_next / (TWO_PI / 256))))
+            for i in range(1, steps + 1):
+                un = u + direction * du_next * i / steps
+                v = self._v_continue(un, v)
+                samples.append((un, v))
+            u = u + direction * du_next
+            traveled += du_next
+            # does a subdivision vertex sit on this curve at this cut-u?
+            for key, (uk, vk) in self.v_coords.items():
+                if abs((uk - u + np.pi) % TWO_PI - np.pi) > 1e-7:
+                    continue
+                if abs((vk - v + np.pi) % TWO_PI - np.pi) < 1e-4:
+                    samples[-1] = (u, vk + round((v - vk) / TWO_PI) * TWO_PI)
+                    return samples, key
+        raise UnsupportedStep("unterminated torus silhouette trace")
+
+    # -- arc subdivision ---------------------------------------------------------
+
+    def _subdivide_circle(self, edge: BEdge, cut_points: List[np.ndarray]
+                          ) -> List[BEdge]:
+        """Split a circle edge at interior 3D points (shared-curve sub-arcs
+        with explicit spans), registering the substitution."""
+        t0, t1 = ensure_arc_span(edge)
+        fr = edge.curve.frame
+
+        def t_of(p: np.ndarray) -> float:
+            q = p - fr.origin
+            t = float(np.arctan2(q @ fr.y, q @ fr.x))
+            return t0 + float((t - t0) % TWO_PI)
+
+        inner = sorted(t for t in (t_of(p) for p in cut_points)
+                       if t0 + 1e-6 < t < t1 - 1e-6)
+        if not inner:
+            return [edge]
+        bounds = [t0] + inner + [t1]
+        verts = [edge.v0]
+        for t in inner:
+            p = (fr.origin + edge.curve.radius
+                 * (np.cos(t) * fr.x + np.sin(t) * fr.y))
+            verts.append(self.reg.vertex_near(p))
+        verts.append(edge.v1)
+        subs = [BEdge(verts[i], verts[i + 1], edge.curve,
+                      arc_span=(bounds[i], bounds[i + 1]))
+                for i in range(len(bounds) - 1)]
+        self.reg.substitute(edge, subs)
+        return subs
+
+    def _station_trace_piece(self, edge: BEdge, w: float) -> _TracePiece:
+        sense = 1 if float(edge.curve.frame.z @ self.Z) > 0 else -1
+        u0 = self._theta(edge.v0.point)
+        t0, t1 = ensure_arc_span(edge)
+        du = sense * (t1 - t0)
+        return _TracePiece(edge, np.array([[u0, w], [u0 + du, w]]))
+
+    # -- the split --------------------------------------------------------------
+
+    def split(self) -> Optional[List[BFace]]:
+        self._classify()
+        total_branches = self._guard_islands()
+        xb = self._station_crossings(self.v_bot)
+        xt = self._station_crossings(self.v_top)
+        if not total_branches:
+            if xb or xt:
+                raise UnsupportedStep("inconsistent torus silhouette events")
+            return None
+
+        # silhouette values at the seam (interior of the band only)
+        seam_vs = []
+        for v in self._v_solutions(self.u_s):
+            w = self._w_of(v)
+            if self._EPS < w < self.H - self._EPS:
+                seam_vs.append(self.v_bot + w)
+        if not (xb or xt or seam_vs):
+            return None  # silhouette never enters the band
+
+        # ---- subdivision vertices: key -> BVertex, with (u, v) coords
+        self.v_coords: Dict[int, Tuple[float, float]] = {}
+        vertices: Dict[int, BVertex] = {}
+        ends: List[Tuple[int, int]] = []  # (vertex key, trace direction)
+
+        def add_vertex(u: float, v: float) -> int:
+            vert = self.reg.vertex_near(self._point_at(u, v))
+            if id(vert) not in self.v_coords:
+                self.v_coords[id(vert)] = (u % TWO_PI, v)
+                vertices[id(vert)] = vert
+            return id(vert)
+
+        crossings = ([(u, self.v_bot) for u in xb]
+                     + [(u, self.v_top) for u in xt])
+        for (u1, _), (u2, _) in zip(crossings, crossings[1:]):
+            if abs((u1 - u2 + np.pi) % TWO_PI - np.pi) < self._EPS:
+                raise UnsupportedStep("torus silhouette sliver; use OCC")
+        for u_e, v_st in crossings:
+            key = add_vertex(u_e, v_st)
+            ends.append((key, self._crossing_side(u_e, v_st)))
+        for v in seam_vs:
+            key = add_vertex(self.u_s, v)
+            ends.append((key, +1))
+            ends.append((key, -1))
+        self.cut_us = sorted({(u % TWO_PI) for u, _ in crossings}
+                             | {self.u_s % TWO_PI})
+
+        # ---- trace silhouette pieces between vertices
+        silhouette_pieces: List[_TracePiece] = []
+        open_ends = set(ends)
+        if len(open_ends) != len(ends):
+            raise UnsupportedStep("coincident torus silhouette events")
+        while open_ends:
+            key, direction = next(iter(open_ends))
+            open_ends.discard((key, direction))
+            samples, end_key = self._trace_piece(key, direction)
+            arrival = (end_key, -direction)
+            if arrival not in open_ends:
+                raise UnsupportedStep("torus silhouette trace mismatch")
+            open_ends.discard(arrival)
+            # refine to chordal tol and build the polyline edge
+            refined: List[Tuple[float, float]] = []
+            for pair in zip(samples, samples[1:]):
+                refined.extend(self._refine(list(pair)))
+            refined.append(samples[-1])
+            pts = np.stack([self._point_at(u, v) for u, v in refined])
+            v0, v1 = vertices[key], vertices[end_key]
+            if direction < 0:  # store polylines in +u natural direction
+                refined, pts = refined[::-1], pts[::-1]
+                v0, v1 = v1, v0
+            pts[0], pts[-1] = v0.point, v1.point
+            bedge = BEdge(v0, v1, BCurve("poly", points=pts))
+            uw = np.array([[u, self._w_of(v) if i not in (0, len(refined) - 1)
+                            else float(np.clip(self._w_of(v), 0.0, self.H))]
+                           for i, (u, v) in enumerate(refined)])
+            # unwrap w against jitter at the band edges, clamp into [0, H]
+            uw[:, 1] = np.clip(np.where(uw[:, 1] > self.H + np.pi,
+                                        uw[:, 1] - TWO_PI, uw[:, 1]),
+                               0.0, self.H)
+            silhouette_pieces.append(_TracePiece(bedge, uw))
+
+        # ---- subdivide the station circles at the crossing u's
+        trace_pieces: List[_TracePiece] = list(silhouette_pieces)
+        for st, xs, v_st, w in ((0, xb, self.v_bot, 0.0),
+                                (1, xt, self.v_top, self.H)):
+            cut_pts = [self._point_at(u, v_st) for u in xs]
+            for edge in self.station_pieces[st]:
+                existing = [self._theta(edge.v0.point),
+                            self._theta(edge.v1.point)]
+                pts = [p for u, p in zip(xs, cut_pts)
+                       if all(abs((u - e + np.pi) % TWO_PI - np.pi) > 1e-4
+                              for e in existing)]
+                for sub in self._subdivide_circle(edge, pts):
+                    trace_pieces.append(self._station_trace_piece(sub, w))
+
+        # ---- subdivide the seam at its silhouette crossings
+        seam_subs = self._subdivide_circle(
+            self.seam, [self._point_at(self.u_s, v) for v in seam_vs])
+
+        # ---- trace regions
+        cycles = _BandTracer(trace_pieces).cycles()
+        return self._assemble(cycles, seam_subs)
+
+    # -- region assembly ----------------------------------------------------------
+
+    def _region_sign(self, cycle) -> float:
+        """Sign of F on the region's interior (sampled just left of a
+        boundary piece midpoint)."""
+        for p, d in cycle:
+            uw = p.uw if d > 0 else p.uw[::-1]
+            i = len(uw) // 2 if len(uw) > 2 else 0
+            seg = uw[i + 1] - uw[i]
+            n = float(np.hypot(seg[0], seg[1]))
+            if n < 1e-12:
+                continue
+            left = np.array([-seg[1], seg[0]]) / n
+            mid = (uw[i] + uw[i + 1]) / 2.0 + self._EPS * 0.3 * left
+            sign = self._F(float(mid[0]), self.v_bot + float(mid[1]))
+            if abs(sign) > 1e-9:
+                return float(np.sign(sign))
+        raise UnsupportedStep("could not sign a torus region")
+
+    def _emit(self, walk: List[Tuple[BEdge, int]]) -> BFace:
+        f = self.face
+        return BFace(TORUS, f.frame, f.radius, f.semi_angle, f.same_sense,
+                     [walk], fid=f.fid, radius2=f.radius2)
+
+    @staticmethod
+    def _cycle_walk(cycle) -> List[Tuple[BEdge, int]]:
+        return [(p.edge, 0 if d > 0 else 1) for p, d in cycle]
+
+    @staticmethod
+    def _rotate_to(cycle, vertex_key: int):
+        for i, half in enumerate(cycle):
+            if _BandTracer._tail(half) == vertex_key:
+                return cycle[i:] + cycle[:i]
+        return None
+
+    def _assemble(self, cycles, seam_subs) -> List[BFace]:
+        wrapping, discs = [], []
+        for cycle in cycles:
+            du = _cycle_du(cycle)
+            if abs(du) < np.pi:
+                uw = _cycle_uw(cycle)
+                area = float((uw[:-1, 0] * uw[1:, 1]
+                              - uw[:-1, 1] * uw[1:, 0]).sum()) / 2.0
+                if area <= 0:
+                    raise UnsupportedStep(
+                        "clockwise contractible torus cycle (island?)")
+                discs.append(cycle)
+            elif abs(abs(du) - TWO_PI) < 1e-3:
+                wrapping.append(cycle)
+            else:
+                raise UnsupportedStep("torus cycle wraps more than once")
+
+        # wrapping cycles sort by mean w; the lowest (the outside of the
+        # bottom station) and highest are dropped, interior ones pair into
+        # annular regions (lower boundary +u, upper boundary -u)
+        def mean_w(cycle) -> float:
+            uw = _cycle_uw(cycle)
+            seg = np.abs(np.diff(uw[:, 0]))
+            mids = (uw[:-1, 1] + uw[1:, 1]) / 2.0
+            tot = float(seg.sum())
+            return float((seg * mids).sum() / tot) if tot > 1e-9 else float(
+                uw[:, 1].mean())
+
+        # quantize the w key: a cycle and its reverse differ in float
+        # summation order only, and the du tiebreak must decide between them
+        wrapping.sort(key=lambda c: (round(mean_w(c), 6), _cycle_du(c)))
+        if len(wrapping) % 2 or len(wrapping) < 2:
+            raise UnsupportedStep("unpaired wrapping torus cycles")
+        for i, cycle in enumerate(wrapping):
+            if (_cycle_du(cycle) > 0) != (i % 2 == 1):
+                raise UnsupportedStep("torus wrapping cycles out of order")
+        annuli = [(wrapping[i], wrapping[i + 1])
+                  for i in range(1, len(wrapping) - 1, 2)]
+
+        # seam sub-arcs attach to the region whose boundary holds both of
+        # their endpoints (annuli: one per region; discs: doubly-used spur)
+        faces: List[BFace] = []
+        seam_used = [False] * len(seam_subs)
+
+        def seam_for(vertex_keys, sign=None):
+            for i, sub in enumerate(seam_subs):
+                if seam_used[i]:
+                    continue
+                if (id(sub.v0) in vertex_keys and id(sub.v1) in vertex_keys
+                        and (sign is None
+                             or self._F(self.u_s,
+                                        self._v_of(midpoint_of(sub))) * sign
+                             > 0)):
+                    seam_used[i] = True
+                    return sub
+            return None
+
+        for lower, upper in annuli:
+            keys_lo = {self._tailkey(h) for h in lower}
+            keys_up = {self._tailkey(h) for h in upper}
+            sub = None
+            for i, cand in enumerate(seam_subs):
+                if seam_used[i]:
+                    continue
+                if ((id(cand.v0) in keys_lo and id(cand.v1) in keys_up)
+                        or (id(cand.v1) in keys_lo and id(cand.v0) in keys_up)):
+                    seam_used[i] = True
+                    sub = cand
+                    break
+            if sub is None:
+                raise UnsupportedStep("torus annulus region without a seam")
+            lo_key = id(sub.v0) if id(sub.v0) in keys_lo else id(sub.v1)
+            up_key = id(sub.v1) if lo_key == id(sub.v0) else id(sub.v0)
+            lo_cycle = self._rotate_to(lower, lo_key)
+            up_cycle = self._rotate_to(upper, up_key)
+            if lo_cycle is None or up_cycle is None:
+                raise UnsupportedStep("torus seam endpoints off their cycles")
+            walk = (self._cycle_walk(lo_cycle)
+                    + [(sub, 0 if id(sub.v0) == lo_key else 1)]
+                    + self._cycle_walk(up_cycle)
+                    + [(sub, 1 if id(sub.v0) == lo_key else 0)])
+            faces.append(self._emit(walk))
+
+        for cycle in discs:
+            keys = {self._tailkey(h) for h in cycle}
+            sub = seam_for(keys, sign=self._region_sign(cycle))
+            walk = self._cycle_walk(cycle)
+            if sub is not None:
+                rotated = self._rotate_to(cycle, id(sub.v0))
+                walk = ([(sub, 0), (sub, 1)] + self._cycle_walk(rotated))
+            faces.append(self._emit(walk))
+
+        if not all(seam_used):
+            raise UnsupportedStep("unassigned torus seam piece")
+        return faces
+
+    @staticmethod
+    def _tailkey(half) -> int:
+        return _BandTracer._tail(half)
+
+
 def midpoint_of(edge: BEdge) -> np.ndarray:
     """3D midpoint of an edge along its curve (arc-aware)."""
     if edge.curve.kind == "line":
         return (edge.v0.point + edge.v1.point) / 2.0
+    if edge.curve.kind == "poly":
+        pts = np.asarray(edge.curve.points, dtype=float)
+        return pts[len(pts) // 2]
     t0, t1 = ensure_arc_span(edge)
     t = (t0 + t1) / 2.0
     fr = edge.curve.frame
@@ -947,18 +1675,21 @@ def split_solid(solid: BSolid, projector: NativeProjector,
     split arcs into every loop that references them (BRepFeat_SplitShape
     semantics: the split modifies the whole shape, TopoMapper.py:58-83).
 
-    Swept faces (cylinder/cone) split first, spheres after: a hemisphere on
-    a cylinder shares the equator circle, and the wall's ruling endpoints
-    land exactly on the sphere's silhouette crossings — processing spheres
-    last lets them reuse those cut vertices. A final re-expansion pass
-    updates every emitted walk through the full substitution map, so a
-    face split early still sees arcs subdivided by a later neighbor."""
+    Swept faces (cylinder/cone) split first, spheres/tori after: a
+    hemisphere on a cylinder shares the equator circle, and the wall's
+    ruling endpoints land exactly on the sphere's silhouette crossings —
+    processing the doubly-curved faces last lets them reuse those cut
+    vertices. A final re-expansion pass updates every emitted walk through
+    the full substitution map, so a face split early still sees arcs
+    subdivided by a later neighbor."""
     registry = _SplitRegistry()
     replaced: Dict[int, List[BFace]] = {}
     curved = [f for f in solid.faces if f.surface_kind != PLANE]
-    for face in sorted(curved, key=lambda f: f.surface_kind == SPHERE):
+    for face in sorted(curved, key=lambda f: f.surface_kind in (SPHERE, TORUS)):
         if face.surface_kind == SPHERE:
             subs = _SphereSplitter(face, projector, tol, registry).split()
+        elif face.surface_kind == TORUS:
+            subs = _TorusSplitter(face, projector, tol, registry).split()
         else:
             subs = _FaceSplitter(face, projector, tol, registry).split()
         if subs is not None:

@@ -20,7 +20,7 @@ from faceformer_tpu.geometry.enclosedness import is_face_enclosed
 from faceformer_tpu.tools import step21, step_native
 from faceformer_tpu.tools.occ_pipeline import ProjectionArgs
 from faceformer_tpu.tools.step21 import (
-    CONE, CYLINDER, PLANE, SPHERE, UnsupportedStep)
+    CONE, CYLINDER, PLANE, SPHERE, TORUS, UnsupportedStep)
 
 _spec = importlib.util.spec_from_file_location(
     "prepare_data_step", os.path.join(os.path.dirname(__file__), "..",
@@ -98,6 +98,14 @@ class TestParser:
         assert ents[2].args[1].name == "GLOBAL_UNIT_ASSIGNED_CONTEXT"
 
     def test_unsupported_surface_raises(self):
+        text = step21.brep_cylinder(0.5, 1.0)
+        text = text.replace("CYLINDRICAL_SURFACE", "B_SPLINE_SURFACE")
+        with pytest.raises(UnsupportedStep):
+            step21._Resolver(step21.parse_step_text(text)).solids()
+
+    def test_malformed_torus_raises(self):
+        # a TOROIDAL_SURFACE without a minor radius (e.g. a rewritten
+        # cylinder entity) must fail as unsupported, not crash
         text = step21.brep_cylinder(0.5, 1.0)
         text = text.replace("CYLINDRICAL_SURFACE", "TOROIDAL_SURFACE")
         with pytest.raises(UnsupportedStep):
@@ -351,6 +359,132 @@ class TestSphere:
                 for idx, orient in loop:
                     seen.setdefault(idx, []).append(orient)
         assert all(sorted(v) == [0, 1] for v in seen.values())
+
+
+class TestTorus:
+    """TOROIDAL_SURFACE support: the silhouette condition reduces per-u to
+    the same one-harmonic equation as the other quadrics, branches are
+    traced as polyline edges (OCC's HLR also hands torus outlines over
+    discretized), and faces are recovered by half-edge tracing over the
+    band. Tori map to the reference's Other face type (GeomAbs_Torus = 4,
+    Face.py:18-24; labels clamp >= 2, data_para.py:76-80)."""
+
+    def test_parse_roundtrip(self):
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_torus(0.8, 0.3))).solids()[0]
+        assert [f.surface_kind for f in solid.faces] == [TORUS, TORUS]
+        assert solid.faces[0].radius == pytest.approx(0.8)
+        assert solid.faces[0].radius2 == pytest.approx(0.3)
+
+    def test_non_ring_torus_rejected(self):
+        with pytest.raises(UnsupportedStep):
+            step21.brep_torus(0.3, 0.8)
+
+    @pytest.mark.parametrize("focus", [0.0, 3.0])
+    def test_donut_three_quarter_view(self, focus):
+        # generic 3/4 view: each band carries one wrapping silhouette
+        # branch, splitting the donut's 2 faces into 4
+        topo, data = _pipeline(step21.brep_torus(0.8, 0.3), focus=focus)
+        types = sorted(f[0] for f in data["faces_indices"])
+        assert types == [TORUS] * 4
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+
+    def test_donut_axis_view(self):
+        # straight down the axis (orthographic): the silhouettes are the
+        # outer (v = 0) and inner (v = pi) equator circles, one in each
+        # band's interior -> both bands split in two
+        topo, data = _pipeline_view(step21.brep_torus(0.8, 0.3),
+                                    (0.0, 0.0, 1.0), focus=0.0)
+        assert sorted(f[0] for f in data["faces_indices"]) == [TORUS] * 4
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+
+    @pytest.mark.parametrize("focus", [0.0, 3.0])
+    def test_round_top_cylinder(self, focus):
+        # quarter-torus fillet between a cylinder wall and a top disc: the
+        # fillet's silhouette crossings must share vertices with the wall's
+        # ruling endpoints on their common circle so all chains close
+        topo, data = _pipeline(step21.brep_round_top_cylinder(0.6, 0.9, 0.25),
+                               focus=focus)
+        types = sorted(f[0] for f in data["faces_indices"])
+        assert types == [PLANE, PLANE, CYLINDER, CYLINDER, TORUS, TORUS]
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+        for rec in topo.all_faces.values():
+            assert len(rec.keys) == len(set(rec.keys))
+
+    def test_silhouette_points_on_silhouette(self):
+        # every poly (silhouette) edge the split emits satisfies the HLR
+        # condition N . view = 0 along its samples
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_torus(0.8, 0.3))).solids()[0]
+        step_native.normalize_solid(solid)
+        torus = solid.faces[0]
+        C, R, r = torus.frame.origin, torus.radius, torus.radius2
+        X, Y, Z = torus.frame.x, torus.frame.y, torus.frame.z
+        for focus in (0.0, 3.0):
+            proj = step_native.NativeProjector(ProjectionArgs(
+                location=(1, 1, 1), direction=(1, 1, 1), focus=focus))
+            reg = step_native._SplitRegistry()
+            subs = step_native._TorusSplitter(torus, proj, 1e-4, reg).split()
+            checked = 0
+            for face in subs:
+                for edge, _ in face.loops[0]:
+                    if edge.curve.kind != "poly":
+                        continue
+                    for p in edge.curve.points:
+                        q = p - C
+                        zc = float(q @ Z)
+                        rad = q - zc * Z
+                        er = rad / np.linalg.norm(rad)
+                        radial = float(np.linalg.norm(rad)) - R
+                        n = radial / r * er + zc / r * Z
+                        view = proj.n if proj.eye is None else (p - proj.eye)
+                        assert abs(float(n @ view)) < 5e-3 * max(
+                            1.0, float(np.linalg.norm(view)))
+                        checked += 1
+            assert checked > 32
+
+    def test_random_camera_sweep(self):
+        rng = np.random.default_rng(21)
+        ran = rejected = 0
+        for i in range(30):
+            loc = tuple(rng.uniform(-1.5, 1.5, 3))
+            if float(np.linalg.norm(loc)) < 0.5:
+                continue
+            focus = float(rng.choice([0.0, 3.0, 4.5]))
+            text = (step21.brep_torus(0.8, float(rng.uniform(0.15, 0.5)))
+                    if i % 2 else
+                    step21.brep_round_top_cylinder(
+                        0.6, float(rng.uniform(0.5, 1.1)),
+                        float(rng.uniform(0.12, 0.28))))
+            try:
+                _, data = _pipeline_view(text, loc, focus=focus)
+            except UnsupportedStep:
+                rejected += 1  # conservative guards route to the OCC backend
+                continue
+            assert 2 * len(data["pairings"]) == len(data["edges"])
+            ran += 1
+        assert ran >= 20
+        assert rejected <= 4
+
+    def test_bbox_includes_tube_extremes(self):
+        # the donut's outer equator (radius R + r) and top/bottom circles
+        # (z = +-r) lie in face interiors, not on boundary edges
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_torus(0.8, 0.3))).solids()[0]
+        lo, hi = step_native.solid_bbox(solid)
+        np.testing.assert_allclose(hi, [1.1, 1.1, 0.3], atol=1e-3)
+        np.testing.assert_allclose(lo, [-1.1, -1.1, -0.3], atol=1e-3)
+        step_native.normalize_solid(solid)
+        lo, hi = step_native.solid_bbox(solid)
+        np.testing.assert_allclose(np.linalg.norm(hi - lo), 2.0, atol=1e-3)
+
+    def test_face_type_clamps_to_other(self):
+        from faceformer_tpu.config import TokenConfig
+        from faceformer_tpu.data.packing import face_type_token
+
+        tok = TokenConfig()
+        assert (face_type_token(TORUS, tok)
+                == face_type_token(2, tok))  # Other, like cone/sphere
 
 
 # ---------------------------------------------------------------------------

@@ -62,9 +62,17 @@ def random_footprint(rng: np.random.Generator) -> np.ndarray:
 
 def random_step_solid(rng: np.random.Generator, name: str) -> str:
     kind = rng.choice(["extrusion", "holes", "cylinder", "frustum",
-                       "dome", "dome_block"],
-                      p=[0.28, 0.28, 0.12, 0.12, 0.1, 0.1])
+                       "dome", "dome_block", "torus", "round_top"],
+                      p=[0.26, 0.26, 0.1, 0.1, 0.09, 0.09, 0.05, 0.05])
     h = float(rng.uniform(0.4, 1.2))
+    if kind == "torus":
+        major = float(rng.uniform(0.5, 0.9))
+        return step21.brep_torus(major, major * float(rng.uniform(0.2, 0.6)),
+                                 name=name)
+    if kind == "round_top":
+        r = float(rng.uniform(0.5, 0.9))
+        return step21.brep_round_top_cylinder(
+            r, h, r * float(rng.uniform(0.2, 0.7)), name=name)
     if kind == "cylinder":
         return step21.brep_cylinder(float(rng.uniform(0.5, 0.9)), h, name=name)
     if kind == "frustum":
