@@ -72,7 +72,7 @@ def random_step_solid(rng: np.random.Generator, name: str) -> str:
     if kind == "round_top":
         r = float(rng.uniform(0.5, 0.9))
         return step21.brep_round_top_cylinder(
-            r, h, r * float(rng.uniform(0.2, 0.7)), name=name)
+            r, h, r * float(rng.uniform(0.15, 0.45)), name=name)
     if kind == "cylinder":
         return step21.brep_cylinder(float(rng.uniform(0.5, 0.9)), h, name=name)
     if kind == "frustum":
