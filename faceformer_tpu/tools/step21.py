@@ -197,9 +197,11 @@ def parse_step_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> Dict[int, T
 # ---------------------------------------------------------------------------
 
 # face_type ints follow OCC's GeomAbs enum, which the reference stores
-# verbatim (Face.py:18-24): Plane=0, Cylinder=1, Cone=2, Sphere=3, Torus=4
-# (labels clamp every type >= 2 to "Other", data_para.py:76-80)
+# verbatim (Face.py:18-24): Plane=0, Cylinder=1, Cone=2, Sphere=3, Torus=4,
+# BSplineSurface=6, SurfaceOfExtrusion=8 (labels clamp every type >= 2 to
+# "Other", data_para.py:76-80)
 PLANE, CYLINDER, CONE, SPHERE, TORUS = 0, 1, 2, 3, 4
+BSPLINE, EXTRUSION = 6, 8
 
 
 @dataclass
@@ -222,16 +224,85 @@ class BVertex:
 
 @dataclass(eq=False)
 class BCurve:
-    kind: str  # 'line' | 'circle' | 'poly'
+    kind: str  # 'line' | 'circle' | 'poly' | 'bspline'
     # line: point + unit direction; circle: frame + radius;
     # poly: sampled 3D polyline ``points`` (N,3) — the representation of
     # non-circular silhouette curves (a torus outline is a quartic; OCC's
-    # HLR hands these over as discretized outline edges too)
+    # HLR hands these over as discretized outline edges too);
+    # bspline: non-rational B-spline ``ctrl`` (N,3) control points with the
+    # FULL (multiplicity-expanded) ``knots`` vector and ``degree``
     point: Optional[np.ndarray] = None
     direction: Optional[np.ndarray] = None
     frame: Optional[Frame] = None
     radius: float = 0.0
     points: Optional[np.ndarray] = None
+    ctrl: Optional[np.ndarray] = None
+    knots: Optional[np.ndarray] = None
+    degree: int = 0
+
+
+# ---------------------------------------------------------------------------
+# non-rational B-spline evaluation (the curve/surface geometry OCC's
+# Geom_BSplineCurve/Surface provide to the reference pipeline)
+# ---------------------------------------------------------------------------
+
+
+def expand_knots(knots, mults) -> np.ndarray:
+    """Full (repeated) knot vector from STEP's (knots, multiplicities)."""
+    return np.repeat(np.asarray(knots, dtype=float),
+                     np.asarray(mults, dtype=int))
+
+
+def bspline_domain(curve: "BCurve") -> Tuple[float, float]:
+    """The parameter interval on which the spline is defined."""
+    k, p = curve.knots, curve.degree
+    return float(k[p]), float(k[len(k) - p - 1])
+
+
+def bspline_eval(curve: "BCurve", ts) -> np.ndarray:
+    """Points of a non-rational B-spline at parameters ``ts`` -> (T, dim),
+    by de Boor's algorithm vectorized over the parameter batch."""
+    ctrl = np.asarray(curve.ctrl, dtype=float)
+    knots, p = np.asarray(curve.knots, dtype=float), curve.degree
+    ts = np.atleast_1d(np.asarray(ts, dtype=float))
+    lo, hi = bspline_domain(curve)
+    ts = np.clip(ts, lo, hi)
+    n = len(ctrl)
+    k = np.searchsorted(knots, ts, side="right") - 1
+    k = np.clip(k, p, n - 1)
+    idx = k[:, None] - p + np.arange(p + 1)[None, :]            # (T, p+1)
+    d = ctrl[idx]                                               # (T, p+1, dim)
+    for r in range(1, p + 1):
+        for j in range(p, r - 1, -1):                           # descending:
+            i = k - p + j                                       # d[j-1] is last round's
+            den = knots[i + p - r + 1] - knots[i]
+            safe = np.where(np.abs(den) > 1e-12, den, 1.0)
+            alpha = np.where(np.abs(den) > 1e-12, (ts - knots[i]) / safe, 0.0)
+            d[:, j] = ((1.0 - alpha)[:, None] * d[:, j - 1]
+                       + alpha[:, None] * d[:, j])
+    return d[:, p]
+
+
+def bspline_hodograph(curve: "BCurve") -> "BCurve":
+    """The derivative curve: degree p-1 over the interior knots."""
+    ctrl = np.asarray(curve.ctrl, dtype=float)
+    knots, p = np.asarray(curve.knots, dtype=float), curve.degree
+    if p < 1:
+        raise UnsupportedStep("degree-0 B-spline edge")
+    den = knots[p + 1:p + len(ctrl)] - knots[1:len(ctrl)]
+    safe = np.where(np.abs(den) > 1e-12, den, 1.0)[:, None]
+    q = np.where(np.abs(den)[:, None] > 1e-12,
+                 p * (ctrl[1:] - ctrl[:-1]) / safe, 0.0)
+    return BCurve("bspline", ctrl=q, knots=knots[1:-1], degree=p - 1)
+
+
+def bspline_reversed(curve: "BCurve") -> "BCurve":
+    """The same point set traversed in the opposite direction; the knot
+    vector mirrors over its own span so the domain is preserved."""
+    knots = np.asarray(curve.knots, dtype=float)
+    lo, hi = float(knots[0]), float(knots[-1])
+    return BCurve("bspline", ctrl=np.asarray(curve.ctrl)[::-1].copy(),
+                  knots=(lo + hi) - knots[::-1], degree=curve.degree)
 
 
 @dataclass(eq=False)
@@ -240,7 +311,9 @@ class BEdge:
     folded into the stored curve parametrization at resolution time).
     ``arc_span`` is the circle parameter interval (t0, t1), t1 > t0,
     traversed t0 -> t1 in the natural direction; None until computed
-    (parsed edges) or set explicitly (sub-arcs created by splitting)."""
+    (parsed edges) or set explicitly (sub-arcs created by splitting).
+    For bspline curves the same field restricts the evaluated parameter
+    span (None = the curve's full domain)."""
 
     v0: BVertex
     v1: BVertex
@@ -255,7 +328,7 @@ class BFace:
     Bound orientation and ORIENTED_EDGE orientation are folded in, so a
     loop is the face's actual ordered boundary walk."""
 
-    surface_kind: int  # PLANE / CYLINDER / CONE / SPHERE / TORUS
+    surface_kind: int  # PLANE/CYLINDER/CONE/SPHERE/TORUS/BSPLINE/EXTRUSION
     frame: Frame
     radius: float  # cylinder/cone station radius; sphere/torus major radius
     semi_angle: float  # cone only
@@ -263,6 +336,11 @@ class BFace:
     loops: List[List[Tuple[BEdge, int]]]
     fid: int = 0
     radius2: float = 0.0  # torus only: minor (tube) radius
+    # BSPLINE/EXTRUSION only: the face is profile(u) + t * extrude — a
+    # B_SPLINE_SURFACE_WITH_KNOTS that is linear in v, or a
+    # SURFACE_OF_LINEAR_EXTRUSION over a B-spline profile
+    profile: Optional[BCurve] = None
+    extrude: Optional[np.ndarray] = None
 
 
 @dataclass(eq=False)
@@ -285,6 +363,17 @@ def _unit(v: np.ndarray) -> np.ndarray:
     if n < 1e-12:
         raise UnsupportedStep("degenerate direction")
     return v / n
+
+
+def _extrusion_frame(origin, delta) -> Frame:
+    """Synthesized face frame for a linear-extrusion surface: z along the
+    extrusion direction (only profile/extrude carry real geometry)."""
+    z = _unit(np.asarray(delta, dtype=float))
+    seed = np.array([1.0, 0.0, 0.0])
+    if abs(float(seed @ z)) > 0.9:
+        seed = np.array([0.0, 1.0, 0.0])
+    return Frame(np.asarray(origin, dtype=float).copy(), z,
+                 _unit(seed - z * float(seed @ z)))
 
 
 class _Resolver:
@@ -348,10 +437,26 @@ class _Resolver:
             _, placement, radius = ent.args
             out = BCurve("circle", frame=self.frame(placement),
                          radius=float(radius))
+        elif ent.name == "B_SPLINE_CURVE_WITH_KNOTS":
+            _, degree, ctrl_refs, _form, _closed, _selfint, mults, knots, _spec = ent.args
+            ctrl = np.stack([self.point(r) for r in ctrl_refs])
+            full = expand_knots(knots, mults)
+            if len(full) != len(ctrl) + int(degree) + 1:
+                raise UnsupportedStep("inconsistent B-spline knot vector")
+            out = BCurve("bspline", ctrl=ctrl, knots=full, degree=int(degree))
+        elif ent.name == "&":
+            names = [p.name for p in ent.args]
+            if "RATIONAL_B_SPLINE_CURVE" in names:
+                raise UnsupportedStep(
+                    "rational B-spline edge curves are outside the native "
+                    "subset; use the OCC backend")
+            raise UnsupportedStep(
+                f"complex edge curve ({'+'.join(names)}) is outside the "
+                "native subset; use the OCC backend")
         else:
             raise UnsupportedStep(
                 f"edge curve {ent.name} is outside the native subset "
-                "(LINE/CIRCLE); use the OCC backend")
+                "(LINE/CIRCLE/B_SPLINE_CURVE_WITH_KNOTS); use the OCC backend")
         self.cache[int(ref)] = out
         return out
 
@@ -382,9 +487,21 @@ class _Resolver:
             c = out.curve
             if c.kind == "line":
                 out.curve = BCurve("line", point=c.point, direction=-c.direction)
+            elif c.kind == "bspline":
+                out.curve = bspline_reversed(c)
             else:
                 flipped = Frame(c.frame.origin, -c.frame.z, c.frame.x)
                 out.curve = BCurve("circle", frame=flipped, radius=c.radius)
+        if out.curve.kind == "bspline":
+            # the native subset keeps edges spanning the whole (clamped)
+            # curve; vertices off the curve ends would need trim-parameter
+            # recovery (OCC BRep_Tool::Range territory)
+            ends = bspline_eval(out.curve, list(bspline_domain(out.curve)))
+            if (float(np.max(np.abs(ends[0] - out.v0.point))) > 1e-6
+                    or float(np.max(np.abs(ends[1] - out.v1.point))) > 1e-6):
+                raise UnsupportedStep(
+                    "trimmed B-spline edge (vertices off the curve ends) is "
+                    "outside the native subset; use the OCC backend")
         self.cache[int(ref)] = out
         return out
 
@@ -407,6 +524,53 @@ class _Resolver:
             pairs = [(e, 1 - o) for e, o in pairs[::-1]]
         return pairs
 
+    def _extrusion_face(self, surf) -> Tuple[int, Frame, BCurve, np.ndarray]:
+        """Resolve a linear-extrusion freeform surface: (kind, frame,
+        profile, extrude). The frame is synthesized (origin = first control
+        point, z = extrusion direction) — downstream only profile/extrude
+        carry geometry; the reference reads these surfaces through OCC
+        adaptors (TopoMapper.py:38-43 outlines on any surface type)."""
+        if surf.name == "B_SPLINE_SURFACE_WITH_KNOTS":
+            (_, u_deg, v_deg, grid_refs, _form, _ucl, _vcl, _selfint,
+             u_mults, v_mults, u_knots, v_knots, _spec) = surf.args
+            grid = np.stack([np.stack([self.point(r) for r in row])
+                             for row in grid_refs])  # (nu, nv, 3)
+            for axis in (1, 0):  # profile along u (v linear), then flipped
+                g = grid if axis == 1 else np.swapaxes(grid, 0, 1)
+                deg = int(u_deg) if axis == 1 else int(v_deg)
+                lin_deg = int(v_deg) if axis == 1 else int(u_deg)
+                if lin_deg != 1 or g.shape[1] != 2:
+                    continue
+                deltas = g[:, 1] - g[:, 0]
+                if float(np.max(np.abs(deltas - deltas[0]))) > 1e-7:
+                    continue
+                knots = u_knots if axis == 1 else v_knots
+                mults = u_mults if axis == 1 else v_mults
+                full = expand_knots(knots, mults)
+                if len(full) != g.shape[0] + deg + 1:
+                    raise UnsupportedStep("inconsistent B-spline surface knots")
+                profile = BCurve("bspline", ctrl=g[:, 0].copy(),
+                                 knots=full, degree=deg)
+                return BSPLINE, _extrusion_frame(g[0, 0], deltas[0]), \
+                    profile, deltas[0].copy()
+            raise UnsupportedStep(
+                "general (doubly-curved) B_SPLINE_SURFACE_WITH_KNOTS is "
+                "outside the native subset; use the OCC backend")
+        # SURFACE_OF_LINEAR_EXTRUSION('', swept_curve, extrusion VECTOR)
+        _, curve_ref, vec_ref = surf.args
+        profile = self.curve(curve_ref)
+        if profile.kind != "bspline":
+            raise UnsupportedStep(
+                f"SURFACE_OF_LINEAR_EXTRUSION over a {profile.kind} profile "
+                "is outside the native subset (line/circle sweeps arrive as "
+                "PLANE/CYLINDRICAL_SURFACE); use the OCC backend")
+        v = self.get(vec_ref)
+        if v.name != "VECTOR":
+            raise UnsupportedStep(f"extrusion axis is {v.name}")
+        delta = self.direction(v.args[1]) * float(v.args[2])
+        return EXTRUSION, _extrusion_frame(profile.ctrl[0], delta), \
+            profile, delta
+
     def face(self, ref) -> BFace:
         ent = self.get(ref)
         if ent.name not in ("ADVANCED_FACE", "FACE_SURFACE"):
@@ -414,6 +578,7 @@ class _Resolver:
         _, bounds, surf_ref, same_sense = ent.args
         surf = self.get(surf_ref)
         semi_angle = 0.0
+        profile, extrude = None, None
         if surf.name == "PLANE":
             kind, frame, radius = PLANE, self.frame(surf.args[1]), 0.0
         elif surf.name == "CYLINDRICAL_SURFACE":
@@ -432,15 +597,27 @@ class _Resolver:
                 raise UnsupportedStep(
                     "only ring tori (0 < minor < major) are in the native "
                     "subset; use the OCC backend")
+        elif surf.name in ("B_SPLINE_SURFACE_WITH_KNOTS",
+                           "SURFACE_OF_LINEAR_EXTRUSION"):
+            kind, frame, profile, extrude = self._extrusion_face(surf)
+            radius = 0.0
+        elif surf.name == "&":
+            names = [p.name for p in surf.args]
+            raise UnsupportedStep(
+                f"complex surface instance ({'+'.join(names)}) is outside "
+                "the native subset (rational B-spline surfaces need the "
+                "OCC backend)")
         else:
             raise UnsupportedStep(
                 f"surface {surf.name} is outside the native subset "
                 "(PLANE/CYLINDRICAL_SURFACE/CONICAL_SURFACE/SPHERICAL_SURFACE/"
-                "TOROIDAL_SURFACE); use the OCC backend")
+                "TOROIDAL_SURFACE/B_SPLINE_SURFACE_WITH_KNOTS/"
+                "SURFACE_OF_LINEAR_EXTRUSION); use the OCC backend")
         loops = [self.loop(b) for b in bounds]
         return BFace(kind, frame, radius, semi_angle,
                      same_sense in (".T.", True), loops, fid=int(ref),
-                     radius2=radius2 if surf.name == "TOROIDAL_SURFACE" else 0.0)
+                     radius2=radius2 if surf.name == "TOROIDAL_SURFACE" else 0.0,
+                     profile=profile, extrude=extrude)
 
     def solids(self) -> List[BSolid]:
         out = []
@@ -547,6 +724,39 @@ class StepBuilder:
             self._edges[key] = self.emit(
                 f"EDGE_CURVE('',{self.vertex(p0)},{self.vertex(p1)},{circ},.T.)")
         return self._edges[key]
+
+    def bspline_edge(self, ctrl, degree: int, knots, mults) -> str:
+        """Shared edge over a clamped non-rational B-spline (the curve's
+        first/last control points are its vertices)."""
+        ctrl = np.asarray(ctrl, dtype=float)
+        key = ("B",) + tuple(round(float(c), 9) for c in ctrl.ravel())
+        if key not in self._edges:
+            pts = ",".join(self.point(p) for p in ctrl)
+            kstr = ",".join(self._fmt(k) for k in knots)
+            mstr = ",".join(str(int(m)) for m in mults)
+            curve = self.emit(
+                f"B_SPLINE_CURVE_WITH_KNOTS('',{int(degree)},({pts}),"
+                f".UNSPECIFIED.,.F.,.F.,({mstr}),({kstr}),.UNSPECIFIED.)")
+            self._edges[key] = self.emit(
+                f"EDGE_CURVE('',{self.vertex(ctrl[0])},"
+                f"{self.vertex(ctrl[-1])},{curve},.T.)")
+        return self._edges[key]
+
+    def bspline_extrusion(self, ctrl, degree: int, knots, mults, delta) -> str:
+        """B_SPLINE_SURFACE_WITH_KNOTS that is a linear extrusion of a
+        clamped profile: control grid rows (P_i, P_i + delta), degree 1 and
+        a single Bezier span in v — the entity CAD writers emit for
+        extruded freeform walls."""
+        delta = np.asarray(delta, dtype=float)
+        rows = ",".join(
+            f"({self.point(p)},{self.point(np.asarray(p, dtype=float) + delta)})"
+            for p in np.asarray(ctrl, dtype=float))
+        kstr = ",".join(self._fmt(k) for k in knots)
+        mstr = ",".join(str(int(m)) for m in mults)
+        return self.emit(
+            f"B_SPLINE_SURFACE_WITH_KNOTS('',{int(degree)},1,({rows}),"
+            f".UNSPECIFIED.,.F.,.F.,.F.,({mstr}),(2,2),({kstr}),(0.,1.),"
+            ".UNSPECIFIED.)")
 
     def oriented(self, edge: str, forward: bool) -> str:
         return self.emit(
@@ -822,5 +1032,51 @@ def brep_frustum(r_bottom: float, r_top: float, height: float,
         b.face([[(circ0, False)]], b.plane(c0, -_Z)),
         b.face([[(circ1, True)]], b.plane(c1, _Z)),
     ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_spline_prism(segments, z0: float, z1: float,
+                      name: str = "spline_prism") -> str:
+    """A prism over a closed CCW chain of 2D B-spline (Bezier) segments:
+    each wall is ONE B_SPLINE_SURFACE_WITH_KNOTS face (the linear extrusion
+    of its profile segment), caps are planes bounded by the spline edges —
+    the freeform-surface topology the reference pipeline only reaches
+    through OCC HLR (TopoMapper.py:38-83 splits outline edges on ANY
+    surface type the adaptor reports, incl. GeomAbs_BSplineSurface).
+
+    ``segments``: list of (k_i, 2) control-point arrays; each segment is a
+    clamped degree-(k_i - 1) Bezier span, chained (last control point of
+    one == first of the next, closing around)."""
+    segs = [np.asarray(s, dtype=float) for s in segments]
+    if len(segs) < 2:
+        raise ValueError("need at least 2 segments for distinct wall faces")
+    for s, t in zip(segs, segs[1:] + segs[:1]):
+        if float(np.max(np.abs(s[-1] - t[0]))) > 1e-9:
+            raise ValueError("segments do not chain into a closed profile")
+    b = StepBuilder()
+
+    def lift(seg: np.ndarray, z: float) -> np.ndarray:
+        return np.concatenate([seg, np.full((len(seg), 1), z)], axis=1)
+
+    n = len(segs)
+    bez = [(len(s) - 1, (0.0, 1.0), (len(s), len(s))) for s in segs]
+    bot_edges = [b.bspline_edge(lift(s, z0), p, k, m)
+                 for s, (p, k, m) in zip(segs, bez)]
+    top_edges = [b.bspline_edge(lift(s, z1), p, k, m)
+                 for s, (p, k, m) in zip(segs, bez)]
+    up_edges = [b.line_edge(lift(s, z0)[0], lift(s, z1)[0]) for s in segs]
+    faces: List[str] = []
+    for i in range(n):
+        j = (i + 1) % n
+        p, k, m = bez[i]
+        loop = [(bot_edges[i], True), (up_edges[j], True),
+                (top_edges[i], False), (up_edges[i], False)]
+        faces.append(b.face([loop], b.bspline_extrusion(
+            lift(segs[i], z0), p, k, m, np.array([0.0, 0.0, z1 - z0]))))
+    bot_loops = [[(bot_edges[i], False) for i in range(n - 1, -1, -1)]]
+    top_loops = [[(top_edges[i], True) for i in range(n)]]
+    faces.append(b.face(bot_loops, b.plane(np.array([0, 0, z0]), -_Z)))
+    faces.append(b.face(top_loops, b.plane(np.array([0, 0, z1]), _Z)))
     b.solid(faces, name=name)
     return b.text(f"{name}.step")
