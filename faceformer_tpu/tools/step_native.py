@@ -43,7 +43,8 @@ import numpy as np
 from faceformer_tpu.tools import step21
 from faceformer_tpu.tools.step21 import (
     BCurve, BEdge, BFace, BSolid, BVertex, Frame, UnsupportedStep,
-    CONE, CYLINDER, PLANE, SPHERE, TORUS,
+    BSPLINE, CONE, CYLINDER, EXTRUSION, PLANE, SPHERE, TORUS,
+    bspline_domain, bspline_eval, bspline_hodograph,
 )
 from faceformer_tpu.tools.occ_pipeline import (
     EdgeRecord, FaceRecord, ProjectionArgs, TopoMapper,
@@ -90,6 +91,8 @@ def discretize_bedge(edge: BEdge, tol: float,
     if edge.curve.kind == "poly":
         # silhouette polylines carry their own tol-deflection sampling
         return np.asarray(edge.curve.points, dtype=float)
+    if edge.curve.kind == "bspline":
+        return _discretize_bspline(edge, tol, max_points)
     c = edge.curve
     t0, t1 = ensure_arc_span(edge)
     r = max(c.radius, 1e-12)
@@ -103,6 +106,34 @@ def discretize_bedge(edge: BEdge, tol: float,
            + c.radius * np.sin(t)[:, None] * f.y[None, :])
     # exact shared endpoints (vertex coincidence is what the downstream
     # enclosedness chaining keys on, check_faces_enclosed.py:18-46)
+    pts[0], pts[-1] = edge.v0.point, edge.v1.point
+    return pts
+
+
+def _discretize_bspline(edge: BEdge, tol: float,
+                        max_points: int = 512) -> np.ndarray:
+    """Chordal-deflection sampling of a (sub-span of a) B-spline edge:
+    seed with the knot lines, then bisect every chord whose midpoint
+    deviates more than ``tol`` (OCC discretize_edge semantics on freeform
+    curves)."""
+    c = edge.curve
+    lo, hi = (edge.arc_span if edge.arc_span is not None
+              else bspline_domain(c))
+    interior = [float(k) for k in c.knots if lo + 1e-12 < k < hi - 1e-12]
+    ts = sorted(set([float(lo), float(hi)] + interior))
+    while len(ts) < 9:
+        ts = sorted(set(ts) | {(a + b) / 2 for a, b in zip(ts, ts[1:])})
+    for _ in range(16):
+        pts = bspline_eval(c, ts)
+        mids_t = [(a + b) / 2 for a, b in zip(ts, ts[1:])]
+        mids = bspline_eval(c, mids_t)
+        dev = np.linalg.norm(mids - (pts[:-1] + pts[1:]) / 2, axis=1)
+        bad = [m for m, d in zip(mids_t, dev) if d > tol]
+        if not bad or len(ts) + len(bad) > max_points:
+            break
+        ts = sorted(set(ts) | set(bad))
+    pts = bspline_eval(c, ts)
+    # exact shared endpoints (enclosedness chaining keys on coincidence)
     pts[0], pts[-1] = edge.v0.point, edge.v1.point
     return pts
 
@@ -207,6 +238,13 @@ def normalize_solid(solid: BSolid) -> float:
             face.frame.origin = _move(face.frame.origin)
         face.radius *= scale
         face.radius2 *= scale
+        if face.profile is not None and id(face.profile) not in seen:
+            # similarity transforms act on B-splines through their control
+            # points (affine invariance); the knot parametrization is kept
+            seen.add(id(face.profile))
+            face.profile.ctrl = _move(np.asarray(face.profile.ctrl, dtype=float))
+        if face.extrude is not None:
+            face.extrude = np.asarray(face.extrude, dtype=float) * scale
         for loop in face.loops:
             for edge, _ in loop:
                 if id(edge) in seen:
@@ -224,6 +262,8 @@ def normalize_solid(solid: BSolid) -> float:
                         c.point = _move(c.point)
                     elif c.kind == "poly":
                         c.points = _move(np.asarray(c.points, dtype=float))
+                    elif c.kind == "bspline":
+                        c.ctrl = _move(np.asarray(c.ctrl, dtype=float))
                     else:
                         c.radius *= scale
                         if id(c.frame) not in seen:
@@ -1610,11 +1650,197 @@ def midpoint_of(edge: BEdge) -> np.ndarray:
     if edge.curve.kind == "poly":
         pts = np.asarray(edge.curve.points, dtype=float)
         return pts[len(pts) // 2]
+    if edge.curve.kind == "bspline":
+        lo, hi = (edge.arc_span if edge.arc_span is not None
+                  else bspline_domain(edge.curve))
+        return bspline_eval(edge.curve, (lo + hi) / 2)[0]
     t0, t1 = ensure_arc_span(edge)
     t = (t0 + t1) / 2.0
     fr = edge.curve.frame
     return (fr.origin + edge.curve.radius
             * (np.cos(t) * fr.x + np.sin(t) * fr.y))
+
+
+class _ExtrusionSplitter:
+    """Split one linear-extrusion freeform wall along silhouette rulings.
+
+    The supported wall is a quad patch: ONE B-spline profile edge at each
+    end of the extrusion and two straight boundary rulings (the shape
+    extruded-profile B-Reps produce; anything else raises toward the OCC
+    backend). For the surface P(u, t) = C(u) + t*d the normal
+    N(u) = C'(u) x d is independent of t, and the view ray to P differs
+    from C(u) - E by a multiple of d, so the silhouette condition
+    N . (P - E) = 0 reduces to the t-free scalar
+
+        g(u) = (C'(u) x d) . (C(u) - E)     (perspective, eye E)
+        g(u) = (C'(u) x d) . w              (orthographic, view dir w)
+
+    — silhouettes are whole rulings at the sign-change roots of g,
+    exactly the outline edges OCC's HLR finds on ruled surfaces and feeds
+    to BRepFeat_SplitShape (reference TopoMapper.py:38-83). Tangential
+    touches (g grazing zero without crossing) split no area and are
+    skipped, matching _solve_silhouette's grazing rule."""
+
+    def __init__(self, face: BFace, projector: NativeProjector, tol: float,
+                 registry: "_SplitRegistry"):
+        self.face = face
+        self.tol = tol
+        self.reg = registry
+        if len(face.loops) != 1:
+            raise UnsupportedStep(
+                "multi-loop freeform faces need the OCC backend")
+        self.loop = registry.expand(face.loops[0])
+        self.d = np.asarray(face.extrude, dtype=float)
+        self.dz = _unit(self.d)
+        self.projector = projector
+
+    # -- classification ------------------------------------------------------
+
+    def _classify(self):
+        splines: List[Tuple[BEdge, int]] = []
+        lines: List[BEdge] = []
+        for edge, orient in self.loop:
+            if edge.curve.kind == "bspline":
+                splines.append((edge, orient))
+            elif edge.curve.kind == "line":
+                lines.append(edge)
+            else:
+                raise UnsupportedStep(
+                    "freeform wall with a non-line/spline boundary edge")
+        if len(splines) != 2 or len(lines) != 2:
+            raise UnsupportedStep(
+                f"freeform wall with {len(splines)} profile edges and "
+                f"{len(lines)} rulings is outside the native subset")
+        dn = float(np.linalg.norm(self.d))
+        for e in lines:
+            t = e.v1.point - e.v0.point
+            if (float(np.linalg.norm(np.cross(t, self.d)))
+                    > 1e-6 * dn * float(np.linalg.norm(t))):
+                raise UnsupportedStep(
+                    "freeform wall boundary line not along the extrusion")
+        heights = [float(midpoint_of(e) @ self.dz) for e, _ in splines]
+        (bot, bot_o), (top, _) = (splines if heights[0] < heights[1]
+                                  else splines[::-1])
+        self.bot, self.bot_o, self.top = bot, bot_o, top
+        self.lines = lines
+        self.lo, self.hi = bspline_domain(bot.curve)
+        self.tlo, self.thi = bspline_domain(top.curve)
+        # the top edge must be the bottom translated by d, traversed the
+        # same way (u -> u) or opposite (u -> tlo + thi - u)
+        ts = np.linspace(self.lo, self.hi, 9)
+        pb = bspline_eval(bot.curve, ts) + self.d[None, :]
+        m = self._map_same(ts)
+        same = float(np.max(np.abs(bspline_eval(top.curve, m) - pb))) < 1e-6
+        rev = float(np.max(np.abs(
+            bspline_eval(top.curve, (self.tlo + self.thi) - m) - pb))) < 1e-6
+        if not (same or rev):
+            raise UnsupportedStep(
+                "freeform wall ends are not extrusion translates")
+        self.top_same = same
+
+    def _map_same(self, u):
+        return self.tlo + (np.asarray(u, dtype=float) - self.lo) \
+            * (self.thi - self.tlo) / (self.hi - self.lo)
+
+    # -- silhouette ----------------------------------------------------------
+
+    def _g(self, us: np.ndarray) -> np.ndarray:
+        nrm = np.cross(bspline_eval(self._hodo, us), self.d[None, :])
+        if self.projector.eye is None:
+            return nrm @ self.projector.n
+        pts = bspline_eval(self.bot.curve, us)
+        return np.einsum("ij,ij->i",
+                         nrm, pts - self.projector.eye[None, :])
+
+    def _roots(self) -> List[float]:
+        lo, hi = self.lo, self.hi
+        spans = sorted({float(k) for k in self.bot.curve.knots
+                        if lo <= k <= hi} | {lo, hi})
+        us = np.unique(np.concatenate(
+            [np.linspace(a, b, 33) for a, b in zip(spans, spans[1:])]))
+        g = self._g(us)
+        roots: List[float] = []
+        for a, b, ga, gb in zip(us[:-1], us[1:], g[:-1], g[1:]):
+            if ga == 0.0 or ga * gb >= 0.0:
+                continue  # tangential grazing or no crossing
+            x, y, fa = float(a), float(b), float(ga)
+            for _ in range(60):
+                mid = (x + y) / 2
+                fm = float(self._g(np.array([mid]))[0])
+                if fa * fm <= 0.0:
+                    y = mid
+                else:
+                    x, fa = mid, fm
+            roots.append((x + y) / 2)
+        eps = 1e-3 * (hi - lo)
+        return [r for r in roots if lo + eps < r < hi - eps]
+
+    # -- splitting -----------------------------------------------------------
+
+    def _line_at(self, v: BVertex) -> BEdge:
+        for e in self.lines:
+            if e.v0 is v or e.v1 is v:
+                return e
+        for e in self.lines:
+            if min(float(np.linalg.norm(e.v0.point - v.point)),
+                   float(np.linalg.norm(e.v1.point - v.point))) < 1e-6:
+                return e
+        raise UnsupportedStep("freeform wall boundary ruling not found")
+
+    def split(self) -> Optional[List[BFace]]:
+        self._classify()
+        self._hodo = bspline_hodograph(self.bot.curve)
+        cuts = self._roots()
+        if not cuts:
+            return None
+        bounds = [self.lo] + cuts + [self.hi]
+        cut_pts = bspline_eval(self.bot.curve, np.asarray(cuts))
+        bot_vs = [self.reg.vertex_near(p) for p in cut_pts]
+        top_vs = [self.reg.vertex_near(p + self.d) for p in cut_pts]
+
+        bverts = [self.bot.v0] + bot_vs + [self.bot.v1]
+        bot_subs = [BEdge(bverts[i], bverts[i + 1], self.bot.curve,
+                          arc_span=(bounds[i], bounds[i + 1]))
+                    for i in range(len(bounds) - 1)]
+        self.reg.substitute(self.bot, bot_subs)
+
+        if self.top_same:
+            tb = [float(self._map_same(u)) for u in bounds]
+            tverts = [self.top.v0] + top_vs + [self.top.v1]
+        else:
+            # top natural direction runs opposite the bottom's: its
+            # sub-edges ascend the TOP domain, i.e. descend in bottom u
+            tb = [float((self.tlo + self.thi) - self._map_same(u))
+                  for u in bounds[::-1]]
+            tverts = [self.top.v0] + top_vs[::-1] + [self.top.v1]
+        top_subs = [BEdge(tverts[i], tverts[i + 1], self.top.curve,
+                          arc_span=(tb[i], tb[i + 1]))
+                    for i in range(len(tb) - 1)]
+        self.reg.substitute(self.top, top_subs)
+
+        rulings = [BEdge(bv, tv, BCurve("line", point=bv.point,
+                                        direction=self.dz))
+                   for bv, tv in zip(bot_vs, top_vs)]
+        allr = ([self._line_at(self.bot.v0)] + rulings
+                + [self._line_at(self.bot.v1)])
+
+        def up(e: BEdge) -> int:
+            return 0 if float((e.v1.point - e.v0.point) @ self.dz) > 0 else 1
+
+        out: List[BFace] = []
+        n = len(bot_subs)
+        for i in range(n):
+            r0, r1 = allr[i], allr[i + 1]
+            tsub = top_subs[i] if self.top_same else top_subs[n - 1 - i]
+            walk = [(bot_subs[i], 0), (r1, up(r1)),
+                    (tsub, 1 if self.top_same else 0), (r0, 1 - up(r0))]
+            if self.bot_o == 1:  # parent wire runs the other way around
+                walk = [(e, 1 - o) for e, o in walk[::-1]]
+            out.append(BFace(self.face.surface_kind, self.face.frame, 0.0,
+                             0.0, self.face.same_sense, [walk],
+                             fid=self.face.fid, profile=self.face.profile,
+                             extrude=self.face.extrude))
+        return out
 
 
 class _SplitRegistry:
@@ -1690,6 +1916,8 @@ def split_solid(solid: BSolid, projector: NativeProjector,
             subs = _SphereSplitter(face, projector, tol, registry).split()
         elif face.surface_kind == TORUS:
             subs = _TorusSplitter(face, projector, tol, registry).split()
+        elif face.surface_kind in (BSPLINE, EXTRUSION):
+            subs = _ExtrusionSplitter(face, projector, tol, registry).split()
         else:
             subs = _FaceSplitter(face, projector, tol, registry).split()
         if subs is not None:
@@ -1742,7 +1970,9 @@ class NativeTopoMapper(TopoMapper):
         self.all_edges: Dict[int, EdgeRecord] = {}
         self.all_faces: Dict[int, FaceRecord] = {}
         for face in solid.faces:
-            params = {"radius": face.radius} if face.surface_kind != PLANE else None
+            params = ({"radius": face.radius}
+                      if face.surface_kind not in (PLANE, BSPLINE, EXTRUSION)
+                      else None)
             record = FaceRecord(face, face.surface_kind, params)
             self.all_faces[hash(face)] = record
             for loop in face.loops:

@@ -493,6 +493,129 @@ class TestTorus:
 # ---------------------------------------------------------------------------
 
 
+def _star_segments(rng, n=4, r0=0.7, r1=1.0):
+    """Closed CCW chain of n cubic Bezier segments around a star-shaped
+    radius profile, C1 at the junctions."""
+    th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    rad = rng.uniform(r0, r1, size=n)
+    pts = np.stack([rad * np.cos(th), rad * np.sin(th)], axis=1)
+    tang = np.stack([-rad * np.sin(th), rad * np.cos(th)], axis=1)
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    segs = []
+    for i in range(n):
+        j = (i + 1) % n
+        h = float(np.linalg.norm(pts[j] - pts[i])) / 3.0
+        segs.append(np.stack([pts[i], pts[i] + h * tang[i],
+                              pts[j] - h * tang[j], pts[j]]))
+    return segs
+
+
+class TestSplinePrism:
+    """Freeform extrusion walls (B_SPLINE_SURFACE_WITH_KNOTS, linear in v):
+    the silhouette of P(u,t) = C(u) + t*d is t-free, so outlines are whole
+    rulings at the roots of g(u) = (C'(u) x d).(C(u) - E) — the edges
+    OCC's HLR finds on ruled freeform faces (TopoMapper.py:38-83). Spline
+    faces map to the reference's Other type (GeomAbs_BSplineSurface = 6,
+    labels clamp >= 2, data_para.py:76-80)."""
+
+    def _prism(self, seed=12, n=4):
+        rng = np.random.default_rng(seed)
+        return step21.brep_spline_prism(_star_segments(rng, n=n), -0.4, 0.4)
+
+    def test_side_view_split_count_matches_tangent_extremes(self):
+        # orthographic view along w = (1,1,0): g(u) = (C'(u) x z).w =
+        # C'(u).(z x w), so silhouette rulings sit exactly where the
+        # profile tangent satisfies ty = tx (its extremes along the view
+        # normal) — count them independently from dense tangent samples.
+        # (The +x view is degenerate for this profile family: its
+        # y-extremes fall exactly on the segment junctions.)
+        text = self._prism()
+        solid = step21._Resolver(step21.parse_step_text(text)).solids()[0]
+        step_native.normalize_solid(solid)
+        walls = [f for f in solid.faces if f.surface_kind == step21.BSPLINE]
+        expected = len(walls)
+        for w in walls:
+            bot = [e for e, _ in w.loops[0] if e.curve.kind == "bspline"
+                   and float(midpoint_z(e)) < 0][0]
+            hodo = step21.bspline_hodograph(bot.curve)
+            lo, hi = step21.bspline_domain(bot.curve)
+            der = step21.bspline_eval(hodo, np.linspace(lo, hi, 257))
+            ind = der[:, 1] - der[:, 0]
+            expected += int(np.sum(ind[:-1] * ind[1:] < 0))
+        topo, data = _pipeline_view(text, (1.0, 1.0, 0.0), focus=0.0)
+        got = sum(1 for f in data["faces_indices"] if f[0] == step21.BSPLINE)
+        assert got == expected and expected > len(walls)
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+        for face in data["faces_indices"]:
+            flat = [i for lp in face[1] for i in lp]
+            assert is_face_enclosed(data["edges"], flat, 2e-4)
+
+    @pytest.mark.parametrize("focus", [0.0, 3.0])
+    def test_generic_view_pipeline(self, focus):
+        topo, data = _pipeline(self._prism(seed=13), focus=focus)
+        types = sorted(f[0] for f in data["faces_indices"])
+        assert types.count(PLANE) == 2
+        assert all(t in (PLANE, step21.BSPLINE) for t in types)
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+        for face in data["faces_indices"]:
+            flat = [i for lp in face[1] for i in lp]
+            assert is_face_enclosed(data["edges"], flat, 2e-4)
+        for rec in topo.all_faces.values():
+            assert len(rec.keys) == len(set(rec.keys))
+
+    def test_axis_view_needs_no_split(self):
+        # straight down the extrusion axis g = (C' x z).z = 0 identically:
+        # walls project to curves, nothing to split
+        topo, data = _pipeline_view(self._prism(seed=14), (0.0, 0.0, 1.0))
+        assert sum(1 for f in data["faces_indices"]
+                   if f[0] == step21.BSPLINE) == 4
+
+    @pytest.mark.parametrize("focus", [0.0, 3.0])
+    def test_new_rulings_lie_on_silhouette(self, focus):
+        solid = step21._Resolver(step21.parse_step_text(
+            self._prism(seed=15))).solids()[0]
+        step_native.normalize_solid(solid)
+        proj = step_native.NativeProjector(ProjectionArgs(
+            location=(1, 1, 1), direction=(1, 1, 1), focus=focus))
+        checked = 0
+        for face in list(solid.faces):
+            if face.surface_kind != step21.BSPLINE:
+                continue
+            reg = step_native._SplitRegistry()
+            splitter = step_native._ExtrusionSplitter(face, proj, 1e-4, reg)
+            subs = splitter.split()
+            if subs is None:
+                continue
+            orig_lines = {id(e) for e, _ in face.loops[0]
+                          if e.curve.kind == "line"}
+            d = np.asarray(face.extrude, dtype=float)
+            for sub in subs:
+                for edge, _ in sub.loops[0]:
+                    if edge.curve.kind != "line" or id(edge) in orig_lines:
+                        continue
+                    base = (edge.v0.point
+                            if float((edge.v1.point - edge.v0.point) @ d) > 0
+                            else edge.v1.point)
+                    # recover u at the base and check N . view = 0 there
+                    lo, hi = step21.bspline_domain(splitter.bot.curve)
+                    us = np.linspace(lo, hi, 4097)
+                    pts = step21.bspline_eval(splitter.bot.curve, us)
+                    u = us[int(np.argmin(np.linalg.norm(pts - base, axis=1)))]
+                    der = step21.bspline_eval(splitter._hodo, [u])[0]
+                    n = np.cross(der, d)
+                    view = (proj.n if proj.eye is None
+                            else base - proj.eye)
+                    cosang = abs(float(n @ view)) / (
+                        np.linalg.norm(n) * np.linalg.norm(view))
+                    assert cosang < 5e-3
+                    checked += 1
+        assert checked >= 2
+
+
+def midpoint_z(edge):
+    return step_native.midpoint_of(edge)[2]
+
+
 class TestStepCorpusEndToEnd:
     def test_corpus(self, tmp_path):
         root = str(tmp_path)
