@@ -70,6 +70,27 @@ def poly_convex(rng: np.random.Generator, n: int, r: float) -> np.ndarray:
     return np.stack([rr * np.cos(t), rr * np.sin(t)], axis=1)
 
 
+def bezier_star_segments(rng: np.random.Generator, n: int = 4,
+                         r0: float = 0.7, r1: float = 1.0,
+                         rot: float = 0.0) -> List[np.ndarray]:
+    """Closed CCW chain of ``n`` cubic Bezier segments around a star-shaped
+    radius profile, C1 at the junctions (mirrored tangents) — the freeform
+    footprint for B-spline extrusion solids. Star-shapedness keeps the
+    profile simple (non-self-intersecting) for any radius draw."""
+    th = rot + np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    rad = rng.uniform(r0, r1, size=n)
+    pts = np.stack([rad * np.cos(th), rad * np.sin(th)], axis=1)
+    tang = np.stack([-rad * np.sin(th), rad * np.cos(th)], axis=1)
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    segs: List[np.ndarray] = []
+    for i in range(n):
+        j = (i + 1) % n
+        h = float(np.linalg.norm(pts[j] - pts[i])) / 3.0
+        segs.append(np.stack([pts[i], pts[i] + h * tang[i],
+                              pts[j] - h * tang[j], pts[j]]))
+    return segs
+
+
 def poly_lshape(a: float, b: float, cut_x: float, cut_y: float) -> np.ndarray:
     p = np.array([[0, 0], [a, 0], [a, b - cut_y], [a - cut_x, b - cut_y],
                   [a - cut_x, b], [0, b]], dtype=float)

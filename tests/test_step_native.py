@@ -493,21 +493,7 @@ class TestTorus:
 # ---------------------------------------------------------------------------
 
 
-def _star_segments(rng, n=4, r0=0.7, r1=1.0):
-    """Closed CCW chain of n cubic Bezier segments around a star-shaped
-    radius profile, C1 at the junctions."""
-    th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
-    rad = rng.uniform(r0, r1, size=n)
-    pts = np.stack([rad * np.cos(th), rad * np.sin(th)], axis=1)
-    tang = np.stack([-rad * np.sin(th), rad * np.cos(th)], axis=1)
-    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
-    segs = []
-    for i in range(n):
-        j = (i + 1) % n
-        h = float(np.linalg.norm(pts[j] - pts[i])) / 3.0
-        segs.append(np.stack([pts[i], pts[i] + h * tang[i],
-                              pts[j] - h * tang[j], pts[j]]))
-    return segs
+from faceformer_tpu.geometry.solids import bezier_star_segments as _star_segments  # noqa: E402
 
 
 class TestSplinePrism:

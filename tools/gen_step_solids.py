@@ -15,9 +15,12 @@ Families: polygon extrusions (rect / n-gon / convex / L / T / notched),
 plates with 1-3 circular through-holes (full cylindrical faces with seam
 edges — the topology whose analytic-HLR splitting and sewn-edge removal
 the native backend reproduces), full cylinders, conical frustums,
-spherical domes, and hemisphere-capped cylinders (SPHERICAL_SURFACE faces
+spherical domes, hemisphere-capped cylinders (SPHERICAL_SURFACE faces
 whose silhouette-circle splitting shares equator vertices with the wall's
-ruling cuts).
+ruling cuts), ring tori and round-top fillets (TOROIDAL_SURFACE bands
+with traced silhouette branches), and freeform spline prisms
+(B_SPLINE_SURFACE_WITH_KNOTS extrusion walls over closed Bezier-segment
+chains, split along their t-free ruling silhouettes).
 """
 
 import argparse
@@ -30,6 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from faceformer_tpu.geometry.solids import (
     _place_children,
+    bezier_star_segments,
     origin_clearance,
     poly_convex,
     poly_lshape,
@@ -62,9 +66,16 @@ def random_footprint(rng: np.random.Generator) -> np.ndarray:
 
 def random_step_solid(rng: np.random.Generator, name: str) -> str:
     kind = rng.choice(["extrusion", "holes", "cylinder", "frustum",
-                       "dome", "dome_block", "torus", "round_top"],
-                      p=[0.26, 0.26, 0.1, 0.1, 0.09, 0.09, 0.05, 0.05])
+                       "dome", "dome_block", "torus", "round_top", "spline"],
+                      p=[0.24, 0.24, 0.09, 0.09, 0.08, 0.08,
+                         0.05, 0.05, 0.08])
     h = float(rng.uniform(0.4, 1.2))
+    if kind == "spline":
+        segs = bezier_star_segments(
+            rng, n=int(rng.integers(3, 7)),
+            r0=float(rng.uniform(0.55, 0.75)), r1=float(rng.uniform(0.8, 1.0)),
+            rot=float(rng.uniform(0, np.pi)))
+        return step21.brep_spline_prism(segs, -h / 2, h / 2, name=name)
     if kind == "torus":
         major = float(rng.uniform(0.5, 0.9))
         return step21.brep_torus(major, major * float(rng.uniform(0.2, 0.6)),
