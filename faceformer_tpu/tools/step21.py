@@ -1011,11 +1011,32 @@ def brep_round_top_cylinder(radius: float, height: float, fillet: float,
     return b.text(f"{name}.step")
 
 
+def brep_cone(radius: float, height: float, name: str = "cone") -> str:
+    """An apex cone: one conical wall whose wire runs seam-up/seam-down
+    through the apex vertex (the sewn-edge pattern), plus a disc cap. All
+    silhouette rulings of the wall end at the shared apex vertex."""
+    b = StepBuilder()
+    c0, apex = np.array([0.0, 0.0, 0.0]), np.array([0.0, 0.0, height])
+    x_axis = np.array([1.0, 0.0, 0.0])
+    seam0 = c0 + np.array([radius, 0.0, 0.0])
+    circ0 = b.circle_edge(c0, _Z, x_axis, radius, seam0, seam0)
+    seam = b.line_edge(seam0, apex)
+    wall = [(seam, True), (seam, False), (circ0, True)]
+    semi_angle = float(np.arctan2(-radius, height))
+    faces = [
+        b.face([wall], b.cone(c0, _Z, x_axis, radius, semi_angle)),
+        b.face([[(circ0, False)]], b.plane(c0, -_Z)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
 def brep_frustum(r_bottom: float, r_top: float, height: float,
                  name: str = "frustum") -> str:
-    """A conical frustum: one conical wall with a seam, two disc caps."""
+    """A conical frustum: one conical wall with a seam, two disc caps.
+    For an apex cone use brep_cone (a frustum needs two circles)."""
     if min(r_bottom, r_top) < 1e-6:
-        raise UnsupportedStep("apex cones are outside the native subset")
+        raise UnsupportedStep("frustum with a vanishing cap; use brep_cone")
     b = StepBuilder()
     z0, z1 = -height / 2, height / 2
     c0, c1 = np.array([0, 0, z0]), np.array([0, 0, z1])

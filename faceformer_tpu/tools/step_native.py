@@ -465,7 +465,17 @@ class _FaceSplitter:
                 raise UnsupportedStep("arc center off the face axis")
             zs.append(axial)
         stations = sorted(set(round(z, 7) for z in zs))
-        if len(stations) != 2:
+        if len(stations) == 1 and self.face.surface_kind == CONE:
+            # apex cone: the second bound is the apex point, where the
+            # station radius vanishes (station_radius(z) = r + z*tan(a))
+            tan_a = float(np.tan(self.face.semi_angle))
+            if abs(tan_a) < 1e-9:
+                raise UnsupportedStep("single-station cylinder-like cone")
+            z_apex = -self.face.radius / tan_a
+            if abs(z_apex - stations[0]) < 1e-6:
+                raise UnsupportedStep("degenerate apex cone face")
+            stations = sorted([float(stations[0]), z_apex])
+        elif len(stations) != 2:
             raise UnsupportedStep(
                 f"curved face with {len(stations)} axial stations")
         self.z_bot, self.z_top = float(stations[0]), float(stations[1])
@@ -496,10 +506,14 @@ class _FaceSplitter:
                 self.boundary_lines[theta] = edge
 
     def _domain(self) -> Tuple[float, float, bool]:
-        """CCW angular interval covered by the face (from the top-station
-        arcs): (lo, hi, is_full_circle)."""
+        """CCW angular interval covered by the face, from the top-station
+        arcs (or the bottom's when the top bound is a cone apex):
+        (lo, hi, is_full_circle)."""
         tops = sorted((p for p in self.pieces if p.station == 1),
                       key=lambda p: p.s)
+        if not tops:
+            tops = sorted((p for p in self.pieces if p.station == 0),
+                          key=lambda p: p.s)
         total = sum(p.e - p.s for p in tops)
         if total > TWO_PI - 1e-6:
             return tops[0].s, tops[0].s + TWO_PI, True
@@ -562,14 +576,20 @@ class _FaceSplitter:
         for theta, edge in self.boundary_lines.items():
             rulings[round(_wrap(theta, lo), 9)] = edge
 
-        # traversal sense of the top arcs in the original wire
+        # traversal sense of the top arcs in the original wire; when one
+        # bound is a cone apex (no arcs on that station) the bottom arcs
+        # orient the wire instead — a swept wall's two stations are always
+        # traversed in opposite rotational senses
         top_sense = 0
-        for edge, orient in self.loop:
-            for p in self.pieces:
-                if p.edge is edge or self.reg.parent_of(p.edge) is edge:
-                    if p.station == 1:
-                        top_sense = p.sense * (1 if orient == 0 else -1)
-                        break
+        for station, flip in ((1, 1), (0, -1)):
+            for edge, orient in self.loop:
+                for p in self.pieces:
+                    if p.edge is edge or self.reg.parent_of(p.edge) is edge:
+                        if p.station == station:
+                            top_sense = flip * p.sense * (1 if orient == 0 else -1)
+                            break
+                if top_sense:
+                    break
             if top_sense:
                 break
         if top_sense == 0:

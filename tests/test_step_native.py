@@ -602,6 +602,50 @@ def midpoint_z(edge):
     return step_native.midpoint_of(edge)[2]
 
 
+class TestApexCone:
+    """Apex cones: the wall has ONE arc station; the other bound is the
+    apex point where station_radius vanishes. Both silhouette rulings end
+    at the shared apex vertex (reference cones go through OCC's HLR the
+    same way, with GeomAbs_Cone = 2 clamping to the Other label)."""
+
+    @pytest.mark.parametrize("focus", [0.0, 3.0])
+    def test_cone_splits_at_apex(self, focus):
+        topo, data = _pipeline(step21.brep_cone(0.6, 1.0), focus=focus)
+        assert sorted(f[0] for f in data["faces_indices"]) == [PLANE, CONE, CONE]
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+        for face in data["faces_indices"]:
+            flat = [i for lp in face[1] for i in lp]
+            assert is_face_enclosed(data["edges"], flat, 2e-4)
+
+    def test_point_down_cone(self):
+        # arcs on the TOP station, apex below: orientation falls out of
+        # the top arcs directly
+        topo, data = _pipeline_view(step21.brep_cone(0.5, -0.8),
+                                    (1.0, 1.0, -1.0), focus=3.0)
+        assert sorted(f[0] for f in data["faces_indices"]) == [PLANE, CONE, CONE]
+
+    def test_rulings_share_one_apex_vertex(self):
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_cone(0.6, 1.0))).solids()[0]
+        step_native.normalize_solid(solid)
+        proj = step_native.NativeProjector(ProjectionArgs(
+            location=(1, 1, 1), direction=(1, 1, 1), focus=0.0))
+        wall = [f for f in solid.faces if f.surface_kind == CONE][0]
+        reg = step_native._SplitRegistry()
+        subs = step_native._FaceSplitter(wall, proj, 1e-4, reg).split()
+        assert subs is not None and len(subs) == 2
+        apexes = set()
+        for sub in subs:
+            for edge, _ in sub.loops[0]:
+                if edge.curve.kind == "line":
+                    for v in (edge.v0, edge.v1):
+                        r = v.point - wall.frame.origin
+                        z = float(r @ wall.frame.z)
+                        if float(np.linalg.norm(r - z * wall.frame.z)) < 1e-6:
+                            apexes.add(id(v))
+        assert len(apexes) == 1  # every ruling ends at the SAME vertex
+
+
 class TestStepCorpusEndToEnd:
     def test_corpus(self, tmp_path):
         root = str(tmp_path)

@@ -18,9 +18,11 @@ the native backend reproduces), full cylinders, conical frustums,
 spherical domes, hemisphere-capped cylinders (SPHERICAL_SURFACE faces
 whose silhouette-circle splitting shares equator vertices with the wall's
 ruling cuts), ring tori and round-top fillets (TOROIDAL_SURFACE bands
-with traced silhouette branches), and freeform spline prisms
+with traced silhouette branches), freeform spline prisms
 (B_SPLINE_SURFACE_WITH_KNOTS extrusion walls over closed Bezier-segment
-chains, split along their t-free ruling silhouettes).
+chains, split along their t-free ruling silhouettes), and apex cones
+(one-station conical walls whose silhouette rulings share the apex
+vertex).
 """
 
 import argparse
@@ -66,10 +68,14 @@ def random_footprint(rng: np.random.Generator) -> np.ndarray:
 
 def random_step_solid(rng: np.random.Generator, name: str) -> str:
     kind = rng.choice(["extrusion", "holes", "cylinder", "frustum",
-                       "dome", "dome_block", "torus", "round_top", "spline"],
-                      p=[0.24, 0.24, 0.09, 0.09, 0.08, 0.08,
-                         0.05, 0.05, 0.08])
+                       "dome", "dome_block", "torus", "round_top", "spline",
+                       "cone"],
+                      p=[0.22, 0.22, 0.09, 0.09, 0.08, 0.08,
+                         0.05, 0.05, 0.08, 0.04])
     h = float(rng.uniform(0.4, 1.2))
+    if kind == "cone":
+        return step21.brep_cone(float(rng.uniform(0.5, 0.9)),
+                                float(rng.uniform(0.7, 1.3)), name=name)
     if kind == "spline":
         segs = bezier_star_segments(
             rng, n=int(rng.integers(3, 7)),
