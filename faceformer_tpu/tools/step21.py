@@ -198,10 +198,10 @@ def parse_step_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> Dict[int, T
 
 # face_type ints follow OCC's GeomAbs enum, which the reference stores
 # verbatim (Face.py:18-24): Plane=0, Cylinder=1, Cone=2, Sphere=3, Torus=4,
-# BSplineSurface=6, SurfaceOfExtrusion=8 (labels clamp every type >= 2 to
-# "Other", data_para.py:76-80)
+# BSplineSurface=6, SurfaceOfRevolution=7, SurfaceOfExtrusion=8 (labels
+# clamp every type >= 2 to "Other", data_para.py:76-80)
 PLANE, CYLINDER, CONE, SPHERE, TORUS = 0, 1, 2, 3, 4
-BSPLINE, EXTRUSION = 6, 8
+BSPLINE, REVOLUTION, EXTRUSION = 6, 7, 8
 
 
 @dataclass
@@ -571,6 +571,43 @@ class _Resolver:
         return EXTRUSION, _extrusion_frame(profile.ctrl[0], delta), \
             profile, delta
 
+    def _revolution_face(self, surf) -> Tuple[int, Frame, BCurve]:
+        """Resolve a SURFACE_OF_REVOLUTION over a B-spline meridian profile:
+        (kind, frame, profile). The frame's z is the revolution axis and x
+        points through the profile's meridian half-plane, so the profile's
+        (radius, height) coordinates are its (x, z) projections. Line/circle
+        sweeps arrive as the quadric surface entities instead; profiles off
+        a single meridian plane, touching the axis, or rational raise
+        toward the OCC backend (reference reads any revolution through the
+        OCC adaptor, TopoMapper.py:38-43)."""
+        _, curve_ref, axis_ref = surf.args
+        profile = self.curve(curve_ref)
+        if profile.kind != "bspline":
+            raise UnsupportedStep(
+                f"SURFACE_OF_REVOLUTION over a {profile.kind} profile is "
+                "outside the native subset; use the OCC backend")
+        ax = self.get(axis_ref)
+        if ax.name != "AXIS1_PLACEMENT":
+            raise UnsupportedStep(f"revolution axis is {ax.name}")
+        origin = self.point(ax.args[1])
+        zdir = (self.direction(ax.args[2]) if ax.args[2] is not None
+                else np.array([0.0, 0.0, 1.0]))
+        q = profile.ctrl[0] - origin
+        q = q - zdir * float(q @ zdir)
+        frame = Frame(origin.copy(), zdir, _unit(q))
+        y = frame.y
+        for p in profile.ctrl:
+            d = p - origin
+            if abs(float(d @ y)) > 1e-7:
+                raise UnsupportedStep(
+                    "revolution profile off its meridian plane; use the "
+                    "OCC backend")
+            if float(d @ frame.x) < 1e-6:
+                raise UnsupportedStep(
+                    "revolution profile touches the axis (control point "
+                    "radius <= 0); use the OCC backend")
+        return REVOLUTION, frame, profile
+
     def face(self, ref) -> BFace:
         ent = self.get(ref)
         if ent.name not in ("ADVANCED_FACE", "FACE_SURFACE"):
@@ -600,6 +637,9 @@ class _Resolver:
         elif surf.name in ("B_SPLINE_SURFACE_WITH_KNOTS",
                            "SURFACE_OF_LINEAR_EXTRUSION"):
             kind, frame, profile, extrude = self._extrusion_face(surf)
+            radius = 0.0
+        elif surf.name == "SURFACE_OF_REVOLUTION":
+            kind, frame, profile = self._revolution_face(surf)
             radius = 0.0
         elif surf.name == "&":
             names = [p.name for p in surf.args]
@@ -725,22 +765,41 @@ class StepBuilder:
                 f"EDGE_CURVE('',{self.vertex(p0)},{self.vertex(p1)},{circ},.T.)")
         return self._edges[key]
 
+    def bspline_curve(self, ctrl, degree: int, knots, mults) -> str:
+        """Shared B_SPLINE_CURVE_WITH_KNOTS entity (dedup by control net,
+        so a seam edge and the SURFACE_OF_REVOLUTION it bounds reference
+        the same curve, as CAD writers do)."""
+        ctrl = np.asarray(ctrl, dtype=float)
+        key = ("BC",) + tuple(round(float(c), 9) for c in ctrl.ravel())
+        if key not in self._edges:
+            pts = ",".join(self.point(p) for p in ctrl)
+            kstr = ",".join(self._fmt(k) for k in knots)
+            mstr = ",".join(str(int(m)) for m in mults)
+            self._edges[key] = self.emit(
+                f"B_SPLINE_CURVE_WITH_KNOTS('',{int(degree)},({pts}),"
+                f".UNSPECIFIED.,.F.,.F.,({mstr}),({kstr}),.UNSPECIFIED.)")
+        return self._edges[key]
+
     def bspline_edge(self, ctrl, degree: int, knots, mults) -> str:
         """Shared edge over a clamped non-rational B-spline (the curve's
         first/last control points are its vertices)."""
         ctrl = np.asarray(ctrl, dtype=float)
         key = ("B",) + tuple(round(float(c), 9) for c in ctrl.ravel())
         if key not in self._edges:
-            pts = ",".join(self.point(p) for p in ctrl)
-            kstr = ",".join(self._fmt(k) for k in knots)
-            mstr = ",".join(str(int(m)) for m in mults)
-            curve = self.emit(
-                f"B_SPLINE_CURVE_WITH_KNOTS('',{int(degree)},({pts}),"
-                f".UNSPECIFIED.,.F.,.F.,({mstr}),({kstr}),.UNSPECIFIED.)")
+            curve = self.bspline_curve(ctrl, degree, knots, mults)
             self._edges[key] = self.emit(
                 f"EDGE_CURVE('',{self.vertex(ctrl[0])},"
                 f"{self.vertex(ctrl[-1])},{curve},.T.)")
         return self._edges[key]
+
+    def revolution(self, ctrl, degree: int, knots, mults,
+                   axis_origin, axis_dir) -> str:
+        """SURFACE_OF_REVOLUTION of a (clamped) B-spline meridian profile
+        around AXIS1_PLACEMENT(origin, dir)."""
+        curve = self.bspline_curve(ctrl, degree, knots, mults)
+        ax = self.emit(f"AXIS1_PLACEMENT('',{self.point(axis_origin)},"
+                       f"{self.direction(axis_dir)})")
+        return self.emit(f"SURFACE_OF_REVOLUTION('',{curve},{ax})")
 
     def bspline_extrusion(self, ctrl, degree: int, knots, mults, delta) -> str:
         """B_SPLINE_SURFACE_WITH_KNOTS that is a linear extrusion of a
@@ -1052,6 +1111,48 @@ def brep_frustum(r_bottom: float, r_top: float, height: float,
         b.face([wall], b.cone(c0, _Z, x_axis, r_bottom, semi_angle)),
         b.face([[(circ0, False)]], b.plane(c0, -_Z)),
         b.face([[(circ1, True)]], b.plane(c1, _Z)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_vase(profile_rz, name: str = "vase") -> str:
+    """A solid of revolution: a clamped cubic-or-higher B-spline meridian
+    profile (k, 2) of (radius, height) control points — radius > 0, height
+    strictly increasing at the ends — revolved 2*pi around +z. One
+    SURFACE_OF_REVOLUTION band whose wire is ring-bottom / seam-up /
+    ring-top / seam-down (the seam profile edge used twice = sewn), plus
+    two disc caps. The canonical turned-part topology the reference only
+    reaches through OCC HLR (TopoMapper.py:38-83)."""
+    prz = np.asarray(profile_rz, dtype=float)
+    if len(prz) < 3:
+        raise ValueError("need at least 3 profile control points")
+    if np.min(prz[:, 0]) <= 1e-6:
+        raise UnsupportedStep("vase profile touches the axis")
+    b = StepBuilder()
+    k = len(prz)
+    degree, knots, mults = min(3, k - 1), (0.0, 1.0), None
+    if degree == k - 1:
+        mults = (k, k)
+    else:  # clamped cubic with uniform interior knots
+        n_int = k - degree - 1
+        knots = tuple([0.0] + [(i + 1) / (n_int + 1) for i in range(n_int)]
+                      + [1.0])
+        mults = tuple([degree + 1] + [1] * n_int + [degree + 1])
+    ctrl3 = np.stack([prz[:, 0], np.zeros(k), prz[:, 1]], axis=1)
+    x_axis = np.array([1.0, 0.0, 0.0])
+    p_bot, p_top = ctrl3[0], ctrl3[-1]
+    c_bot = np.array([0.0, 0.0, p_bot[2]])
+    c_top = np.array([0.0, 0.0, p_top[2]])
+    circ_bot = b.circle_edge(c_bot, _Z, x_axis, p_bot[0], p_bot, p_bot)
+    circ_top = b.circle_edge(c_top, _Z, x_axis, p_top[0], p_top, p_top)
+    seam = b.bspline_edge(ctrl3, degree, knots, mults)
+    surf = b.revolution(ctrl3, degree, knots, mults, np.zeros(3), _Z)
+    wall = [(seam, True), (circ_top, False), (seam, False), (circ_bot, True)]
+    faces = [
+        b.face([wall], surf),
+        b.face([[(circ_bot, False)]], b.plane(c_bot, -_Z)),
+        b.face([[(circ_top, True)]], b.plane(c_top, _Z)),
     ]
     b.solid(faces, name=name)
     return b.text(f"{name}.step")

@@ -3,7 +3,9 @@ tools/prepare_data.py.
 
 Reproduces the reference generation algorithm (dataset/prepare_data.py,
 dataset/utils/TopoMapper.py) for plane/cylinder/cone/sphere/torus B-Reps
-WITHOUT OpenCascade, using the Part 21 reader in ``step21.py``:
+plus freeform B-spline extrusion walls and B-spline surfaces of
+revolution WITHOUT OpenCascade, using the Part 21 reader in
+``step21.py``:
 
   1. bbox-normalize the solid (center + scale so the extent diagonal is 2,
      reference prepare_data.py:294-300);
@@ -26,11 +28,13 @@ WITHOUT OpenCascade, using the Part 21 reader in ``step21.py``:
      OCC backend uses (TopoMapper._remove_sewn_edges — inherited, it is
      pure record arithmetic; reference TopoMapper.py:118-185).
 
-Surfaces/curves outside the plane/cylinder/cone/sphere/ring-torus +
-line/circle subset — and torus view configurations the analytic sweep
-cannot certify (silhouette islands from a near camera, grazing
-tangencies, partial-revolution bands) — raise step21.UnsupportedStep,
-routing those shapes to the optional OCC backend.
+Surfaces/curves outside the plane/cylinder/cone/sphere/ring-torus/
+B-spline-extrusion/B-spline-revolution + line/circle/B-spline subset —
+and view configurations the analytic sweeps cannot certify (silhouette
+islands from a near camera, grazing tangencies, partial-revolution
+bands, weaving revolution silhouettes whose region structure the band
+assembler cannot pin) — raise step21.UnsupportedStep, routing those
+shapes to the optional OCC backend (or a camera re-roll).
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ import numpy as np
 from faceformer_tpu.tools import step21
 from faceformer_tpu.tools.step21 import (
     BCurve, BEdge, BFace, BSolid, BVertex, Frame, UnsupportedStep,
-    BSPLINE, CONE, CYLINDER, EXTRUSION, PLANE, SPHERE, TORUS,
+    BSPLINE, CONE, CYLINDER, EXTRUSION, PLANE, REVOLUTION, SPHERE, TORUS,
     bspline_domain, bspline_eval, bspline_hodograph,
 )
 from faceformer_tpu.tools.occ_pipeline import (
@@ -161,8 +165,32 @@ def solid_bbox(solid: BSolid, tol: float = 1e-3) -> Tuple[np.ndarray, np.ndarray
                                      face.frame.origin + corner]))
         elif face.surface_kind == TORUS:
             pts.append(_torus_band_extremes(face))
+        elif face.surface_kind == REVOLUTION:
+            pts.append(_revolution_extremes(face))
     pts = np.concatenate(pts)
     return pts.min(axis=0), pts.max(axis=0)
+
+
+def _revolution_extremes(face: BFace, samples: int = 256) -> np.ndarray:
+    """Axis-aligned extreme points of a full revolution band: the belly of
+    the profile sweeps circles its boundary edges never visit (only the
+    u = u_s meridian and the end rings are edges), so sample the profile
+    and emit each station circle's per-world-axis extremes (same recipe as
+    _torus_band_extremes)."""
+    C, Z = face.frame.origin, face.frame.z
+    lo, hi = bspline_domain(face.profile)
+    p = bspline_eval(face.profile, np.linspace(lo, hi, samples)) - C[None, :]
+    rho = p @ face.frame.x
+    z = p @ Z
+    centers = C[None, :] + z[:, None] * Z[None, :]
+    out = []
+    for e in np.eye(3):
+        r_in = e - Z * float(Z @ e)
+        n = float(np.linalg.norm(r_in))
+        r_hat = r_in / n if n > 1e-12 else face.frame.x
+        out.append(centers + rho[:, None] * r_hat[None, :])
+        out.append(centers - rho[:, None] * r_hat[None, :])
+    return np.concatenate(out)
 
 
 def _torus_band_extremes(face: BFace, samples: int = 256) -> np.ndarray:
@@ -1416,6 +1444,10 @@ class _TorusSplitter:
         self.reg.substitute(edge, subs)
         return subs
 
+    def _subdivide_seam(self, seam_vs: List[float]) -> List[BEdge]:
+        return self._subdivide_circle(
+            self.seam, [self._point_at(self.u_s, v) for v in seam_vs])
+
     def _station_trace_piece(self, edge: BEdge, w: float) -> _TracePiece:
         sense = 1 if float(edge.curve.frame.z @ self.Z) > 0 else -1
         u0 = self._theta(edge.v0.point)
@@ -1520,8 +1552,7 @@ class _TorusSplitter:
                     trace_pieces.append(self._station_trace_piece(sub, w))
 
         # ---- subdivide the seam at its silhouette crossings
-        seam_subs = self._subdivide_circle(
-            self.seam, [self._point_at(self.u_s, v) for v in seam_vs])
+        seam_subs = self._subdivide_seam(seam_vs)
 
         # ---- trace regions
         cycles = _BandTracer(trace_pieces).cycles()
@@ -1647,11 +1678,30 @@ class _TorusSplitter:
 
         for cycle in discs:
             keys = {self._tailkey(h) for h in cycle}
-            sub = seam_for(keys, sign=self._region_sign(cycle))
-            walk = self._cycle_walk(cycle)
-            if sub is not None:
-                rotated = self._rotate_to(cycle, id(sub.v0))
-                walk = ([(sub, 0), (sub, 1)] + self._cycle_walk(rotated))
+            # a winding silhouette can cross the seam meridian several
+            # times, leaving a region's seam intersection DISCONNECTED —
+            # claim every sign-matching spur, each inserted as a doubly-
+            # used wire excursion at its own boundary vertex
+            sign = self._region_sign(cycle)
+            spurs: List[BEdge] = []
+            while True:
+                sub = seam_for(keys, sign=sign)
+                if sub is None:
+                    break
+                spurs.append(sub)
+            if spurs:
+                by_v0: Dict[int, List[BEdge]] = {}
+                for sub in spurs:
+                    by_v0.setdefault(id(sub.v0), []).append(sub)
+                walk = []
+                for half in cycle:
+                    for sub in by_v0.pop(self._tailkey(half), []):
+                        walk.extend([(sub, 0), (sub, 1)])
+                    walk.extend(self._cycle_walk([half]))
+                if by_v0:
+                    raise UnsupportedStep("unattachable seam spur")
+            else:
+                walk = self._cycle_walk(cycle)
             faces.append(self._emit(walk))
 
         if not all(seam_used):
@@ -1661,6 +1711,466 @@ class _TorusSplitter:
     @staticmethod
     def _tailkey(half) -> int:
         return _BandTracer._tail(half)
+
+
+class _RevolutionSplitter(_TorusSplitter):
+    """Split one full-revolution freeform band (SURFACE_OF_REVOLUTION over
+    a B-spline meridian profile) along its silhouette.
+
+    P(u, s) = C + rho(s) e_r(u) + z(s) Zax, with (rho, z) the profile's
+    meridian coordinates. The unnormalized normal is
+    N = z'(s) e_r(u) - rho'(s) Zax, so the HLR outline condition
+    N . (P - E) = 0 is ONE-HARMONIC in the revolution angle per station:
+
+        g(u, s) = A(s) cos u + B(s) sin u + D(s)
+        A = z' k_x,   B = z' k_y,
+        D = z' rho - rho' (k_z + z)     (perspective, k = C - E)
+        D = -rho' k_z                   (orthographic, k = view direction)
+
+    Silhouette branches are the analytic graphs u(s) = phi(s) +- delta(s)
+    over the feasible intervals amp(s) >= |D(s)| — they never wrap in u
+    (phi is constant up to pi flips inside infeasible gaps), so the tracer
+    sweeps s between event vertices on the stations and the seam, flipping
+    sweep direction and branch sign at tangencies (amp = |D|). Region
+    assembly (half-edge cycle tracing, annulus pairing, seam attachment)
+    is inherited from the torus band machinery — the (u, w) band topology
+    is identical. Islands (feasible intervals whose loops touch neither a
+    station nor the seam), grazing tangencies, and partial-revolution
+    bands raise UnsupportedStep toward the OCC backend.
+
+    Reference: OCC HLR outlines on GeomAbs_SurfaceOfRevolution faces,
+    TopoMapper.py:38-83; face type 7 clamps to the Other label
+    (Face.py:18-24, data_para.py:76-80)."""
+
+    def __init__(self, face: BFace, projector: NativeProjector, tol: float,
+                 registry: "_SplitRegistry"):
+        self.face, self.tol, self.reg = face, tol, registry
+        if len(face.loops) != 1:
+            raise UnsupportedStep(
+                "multi-loop revolution faces need the OCC backend")
+        self.loop = registry.expand(face.loops[0])
+        f = face.frame
+        self.C, self.X, self.Y, self.Z = f.origin, f.x, f.y, f.z
+        self.prof = face.profile
+        self.phodo = bspline_hodograph(self.prof)
+        self.s_lo, self.s_hi = bspline_domain(self.prof)
+        if projector.eye is None:
+            k = projector.n
+            self.persp = False
+        else:
+            k = self.C - projector.eye
+            self.persp = True
+        self.kx = float(k @ self.X)
+        self.ky = float(k @ self.Y)
+        self.kz = float(k @ self.Z)
+        # dense station grid: knot lines + 64 samples per span
+        spans = sorted({float(t) for t in self.prof.knots
+                        if self.s_lo <= t <= self.s_hi})
+        self._sgrid = np.unique(np.concatenate(
+            [np.linspace(a, b, 65) for a, b in zip(spans, spans[1:])]))
+        self._eps_s = 1e-6 * (self.s_hi - self.s_lo)
+
+    # -- profile geometry ------------------------------------------------------
+
+    def _rz(self, ss) -> Tuple[np.ndarray, np.ndarray]:
+        p = bspline_eval(self.prof, ss) - self.C
+        return p @ self.X, p @ self.Z
+
+    def _ABD(self, ss) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ss = np.atleast_1d(np.asarray(ss, dtype=float))
+        rho, z = self._rz(ss)
+        d = bspline_eval(self.phodo, ss)
+        pr, pz = d @ self.X, d @ self.Z
+        A, B = pz * self.kx, pz * self.ky
+        if self.persp:
+            D = pz * rho - pr * (self.kz + z)
+        else:
+            D = -pr * self.kz
+        return A, B, D
+
+    def _point_at(self, u: float, s: float) -> np.ndarray:
+        rho, z = self._rz(np.array([float(s)]))
+        er = np.cos(u) * self.X + np.sin(u) * self.Y
+        return self.C + float(rho[0]) * er + float(z[0]) * self.Z
+
+    def _F(self, u: float, s: float) -> float:
+        A, B, D = self._ABD(s)
+        return float(A[0] * np.cos(u) + B[0] * np.sin(u) + D[0])
+
+    def _w_of(self, s: float) -> float:
+        return float(s - self.v_bot)
+
+    def _v_of(self, p: np.ndarray) -> float:
+        """Profile parameter of a 3D point on the surface (by meridian
+        (rho, z) nearest-sampling; used only to sign seam sub-arcs)."""
+        q = p - self.C
+        zc = float(q @ self.Z)
+        rad = float(np.linalg.norm(q - zc * self.Z))
+        rho, z = self._rz(self._sgrid)
+        i = int(np.argmin((rho - rad) ** 2 + (z - zc) ** 2))
+        return float(self._sgrid[i])
+
+    # -- analytic branches -------------------------------------------------------
+
+    def _branch_u(self, s: float, sign: int,
+                  u_ref: float) -> Optional[float]:
+        """u on the phi + sign*delta branch at s, unwrapped near u_ref;
+        None when s is infeasible (amp < |D|)."""
+        A, B, D = self._ABD(s)
+        a, b, dd = float(A[0]), float(B[0]), float(D[0])
+        amp = float(np.hypot(a, b))
+        if amp < 1e-15 or amp < abs(dd):
+            return None
+        phi = float(np.arctan2(b, a))
+        delta = float(np.arccos(np.clip(-dd / amp, -1.0, 1.0)))
+        u = phi + sign * delta
+        return u_ref + float((u - u_ref + np.pi) % TWO_PI - np.pi)
+
+    def _station_crossings(self, s_st: float) -> List[float]:
+        A, B, D = self._ABD(s_st)
+        return [float(u % TWO_PI) for u in _solve_silhouette(
+            float(A[0]), float(B[0]), -float(D[0]))]
+
+    def _seam_crossings(self) -> List[float]:
+        """Interior profile parameters where the silhouette crosses the
+        seam meridian: in-domain sign-change roots of g(u_s, s)."""
+        A, B, D = self._ABD(self._sgrid)
+        h = A * np.cos(self.u_s) + B * np.sin(self.u_s) + D
+        roots: List[float] = []
+        for a, b, ha, hb in zip(self._sgrid[:-1], self._sgrid[1:],
+                                h[:-1], h[1:]):
+            if ha == 0.0 or ha * hb >= 0.0:
+                continue
+            x, y, fa = float(a), float(b), float(ha)
+            for _ in range(60):
+                m = (x + y) / 2
+                fm = self._F(self.u_s, m)
+                if fa * fm <= 0.0:
+                    y = m
+                else:
+                    x, fa = m, fm
+            roots.append((x + y) / 2)
+        return [r for r in roots
+                if self.v_bot + 10 * self._eps_s < r
+                < self.v_top - 10 * self._eps_s]
+
+    # -- boundary classification ---------------------------------------------
+
+    def _classify(self):
+        counts: Dict[int, int] = {}
+        order: List[BEdge] = []
+        for edge, _ in self.loop:
+            counts[id(edge)] = counts.get(id(edge), 0) + 1
+            if counts[id(edge)] == 1:
+                order.append(edge)
+        rho_ends, z_ends = self._rz(np.array([self.s_lo, self.s_hi]))
+        ring: List[Tuple[int, BEdge]] = []
+        seam: Optional[BEdge] = None
+        for edge in order:
+            if edge.curve.kind == "circle" and counts[id(edge)] == 1:
+                cf = edge.curve.frame
+                off = cf.origin - self.C
+                axial = float(off @ self.Z)
+                if (float(np.linalg.norm(off - axial * self.Z)) > 1e-6
+                        or abs(abs(float(cf.z @ self.Z)) - 1.0) > 1e-6):
+                    raise UnsupportedStep("revolution ring circle off-axis")
+                st = None
+                for i in range(2):
+                    if (abs(axial - float(z_ends[i])) < 1e-6
+                            and abs(edge.curve.radius
+                                    - float(rho_ends[i])) < 1e-6):
+                        st = i
+                if st is None:
+                    raise UnsupportedStep(
+                        "revolution ring circle off the profile ends")
+                ring.append((st, edge))
+            elif edge.curve.kind == "bspline" and counts[id(edge)] == 2:
+                if seam is not None:
+                    raise UnsupportedStep(
+                        "revolution band with multiple seams")
+                seam = edge
+            else:
+                raise UnsupportedStep(
+                    "unrecognized revolution boundary edge")
+        if seam is None:
+            raise UnsupportedStep("revolution band without a profile seam")
+        self.seam = seam
+        self.u_s = self._theta(midpoint_of(seam))
+        self.v_bot, self.v_top = self.s_lo, self.s_hi
+        self.H = self.v_top - self.v_bot
+
+        # the seam must BE the profile at a single meridian, traversed
+        # same-way or reversed (affine parameter map)
+        t_lo, t_hi = (seam.arc_span if seam.arc_span is not None
+                      else bspline_domain(seam.curve))
+        ss = np.linspace(self.s_lo, self.s_hi, 9)
+        want = np.stack([self._point_at(self.u_s, float(s)) for s in ss])
+        tt = t_lo + (ss - self.s_lo) * (t_hi - t_lo) / self.H
+        fwd = float(np.max(np.abs(bspline_eval(seam.curve, tt) - want)))
+        rev = float(np.max(np.abs(
+            bspline_eval(seam.curve, (t_lo + t_hi) - tt) - want)))
+        if min(fwd, rev) > 1e-6:
+            raise UnsupportedStep(
+                "revolution seam is not the profile meridian")
+        self._seam_fwd = fwd <= rev
+        self._t_lo, self._t_hi = t_lo, t_hi
+
+        self.station_pieces: Dict[int, List[BEdge]] = {0: [], 1: []}
+        for st, edge in ring:
+            self.station_pieces[st].append(edge)
+        for st in (0, 1):
+            if not self.station_pieces[st]:
+                raise UnsupportedStep(
+                    "revolution band is missing a station circle")
+            total = 0.0
+            for edge in self.station_pieces[st]:
+                t0, t1 = ensure_arc_span(edge)
+                total += t1 - t0
+            if abs(total - TWO_PI) > 1e-5:
+                raise UnsupportedStep("partial-revolution bands need "
+                                      "the OCC backend")
+        for edge, orient in self.loop:
+            if edge in self.station_pieces[0]:
+                sense = 1 if float(edge.curve.frame.z @ self.Z) > 0 else -1
+                if sense * (1 if orient == 0 else -1) != 1:
+                    raise UnsupportedStep(
+                        "unexpected revolution band orientation")
+                break
+
+    def _t_of(self, s: float) -> float:
+        t = self._t_lo + (s - self.s_lo) * (self._t_hi - self._t_lo) / self.H
+        return t if self._seam_fwd else (self._t_lo + self._t_hi) - t
+
+    def _subdivide_seam(self, seam_ss: List[float]) -> List[BEdge]:
+        """Split the B-spline seam edge at interior profile parameters
+        (shared-curve sub-spans, like _ExtrusionSplitter's subdivision)."""
+        if not seam_ss:
+            return [self.seam]
+        ts = sorted(self._t_of(s) for s in seam_ss)
+        t0, t1 = self._t_lo, self._t_hi
+        inner = [t for t in ts if t0 + 1e-9 < t < t1 - 1e-9]
+        if not inner:
+            return [self.seam]
+        bounds = [t0] + inner + [t1]
+        verts = [self.seam.v0]
+        for t in inner:
+            p = bspline_eval(self.seam.curve, t)[0]
+            verts.append(self.reg.vertex_near(p))
+        verts.append(self.seam.v1)
+        subs = [BEdge(verts[i], verts[i + 1], self.seam.curve,
+                      arc_span=(bounds[i], bounds[i + 1]))
+                for i in range(len(bounds) - 1)]
+        self.reg.substitute(self.seam, subs)
+        return subs
+
+    # -- the s-sweep trace -----------------------------------------------------
+
+    def _walk(self, key: int, s_dir: int):
+        """Follow the silhouette from an event vertex, sweeping the profile
+        parameter and flipping at tangencies, until the next event vertex.
+        Returns (samples [(u, s)], end_key, arrival s_dir)."""
+        u0, s0 = self.v_coords[key]
+        probe = s0 + s_dir * 2 * self._eps_s
+        sign = None
+        best = None
+        for cand in (+1, -1):
+            u = self._branch_u(probe, cand, u0)
+            if u is not None and (best is None or abs(u - u0) < best):
+                best, sign = abs(u - u0), cand
+        if sign is None:
+            raise UnsupportedStep("revolution silhouette start infeasible")
+        u, s = u0, s0
+        samples = [(u, s)]
+        ds = self.H / 256.0
+        u_seam = None  # unwrapped seam meridian near the walk
+        budget = 64 * 256  # total sub-steps
+        moved = False
+        for _ in range(budget):
+            step = s_dir * ds
+            s_next = float(np.clip(s + step, self.v_bot, self.v_top))
+            # s is strictly interior here, so touching a bound IS arrival
+            # (exact-equality landings must not slip through and duplicate)
+            hit_station = s_next <= self.v_bot or s_next >= self.v_top
+            u_next = self._branch_u(s_next, sign, u)
+            if u_next is None:
+                # tangency between s and s_next: bisect the feasibility edge
+                x, y = s, s_next
+                for _ in range(60):
+                    m = (x + y) / 2
+                    if self._branch_u(m, sign, u) is None:
+                        y = m
+                    else:
+                        x = m
+                u_t = self._branch_u(x, sign, u)
+                samples.append((u_t, x))
+                sign, s_dir = -sign, -s_dir
+                u, s = u_t, x
+                moved = True
+                continue
+            if abs(u_next - u) > TWO_PI / 128 and ds > self.H / 16384:
+                ds /= 2
+                continue
+            # seam crossing between u and u_next?
+            u_seam = u + float((self.u_s - u + np.pi) % TWO_PI - np.pi)
+            if (moved or abs(u - u_seam) > 1e-9) and \
+                    (u - u_seam) * (u_next - u_seam) <= 0 and \
+                    abs(u - u_seam) < np.pi / 2:
+                # land exactly on the seam: bisect s on this branch
+                x, y = s, s_next
+                fx = u - u_seam
+                for _ in range(60):
+                    m = (x + y) / 2
+                    um = self._branch_u(m, sign, u)
+                    if um is None or fx * (um - u_seam) <= 0:
+                        y = m
+                    else:
+                        x = m
+                s_x = (x + y) / 2
+                end = self._match_vertex(self.u_s, s_x)
+                if end is None:
+                    raise UnsupportedStep(
+                        "unregistered revolution seam crossing")
+                samples.append((u_seam, self.v_coords[end][1]))
+                return self._dedupe(samples), end, s_dir
+            samples.append((u_next, s_next))
+            u, s = u_next, s_next
+            moved = True
+            if hit_station:
+                end = self._match_vertex(u, s)
+                if end is None:
+                    raise UnsupportedStep(
+                        "revolution silhouette misses its station crossing")
+                return self._dedupe(samples), end, s_dir
+        raise UnsupportedStep("unterminated revolution silhouette trace")
+
+    @staticmethod
+    def _dedupe(samples):
+        """Drop coincident consecutive samples (degenerate steps would give
+        the half-edge tracer zero-length tangents and wrong angles)."""
+        out = [samples[0]]
+        for u, s in samples[1:]:
+            if abs(u - out[-1][0]) > 1e-12 or abs(s - out[-1][1]) > 1e-12:
+                out.append((u, s))
+        if len(out) < 2:
+            raise UnsupportedStep("degenerate revolution silhouette piece")
+        return out
+
+    def _match_vertex(self, u: float, s: float) -> Optional[int]:
+        for key, (uk, sk) in self.v_coords.items():
+            if (abs(float((uk - u + np.pi) % TWO_PI - np.pi)) < 1e-4
+                    and abs(sk - s) < max(1e-4 * self.H, 100 * self._eps_s)):
+                return key
+        return None
+
+    # -- the split --------------------------------------------------------------
+
+    def split(self) -> Optional[List[BFace]]:
+        self._classify()
+        xb = self._station_crossings(self.v_bot)
+        xt = self._station_crossings(self.v_top)
+        seam_ss = self._seam_crossings()
+
+        # island guard: every feasible interval must carry an event
+        A, B, D = self._ABD(self._sgrid)
+        feas = np.hypot(A, B) - np.abs(D) > 0
+        if not feas.any():
+            if xb or xt or seam_ss:
+                raise UnsupportedStep(
+                    "inconsistent revolution silhouette events")
+            return None
+        if not (xb or xt or seam_ss):
+            raise UnsupportedStep(
+                "revolution silhouette island (camera too close); "
+                "use the OCC backend")
+        runs: List[Tuple[float, float]] = []
+        start = None
+        for i, f in enumerate(feas):
+            if f and start is None:
+                start = self._sgrid[i]
+            if not f and start is not None:
+                runs.append((start, self._sgrid[i]))
+                start = None
+        if start is not None:
+            runs.append((start, self._sgrid[-1]))
+        for a, b in runs:
+            has_event = ((a <= self.v_bot + 2 * self._eps_s and xb)
+                         or (b >= self.v_top - 2 * self._eps_s and xt)
+                         or any(a - 1e-9 <= s <= b + 1e-9 for s in seam_ss))
+            if not has_event:
+                raise UnsupportedStep(
+                    "revolution silhouette island; use the OCC backend")
+
+        # ---- event vertices
+        self.v_coords: Dict[int, Tuple[float, float]] = {}
+        vertices: Dict[int, BVertex] = {}
+        starts: List[Tuple[int, int]] = []
+
+        def add_vertex(u: float, s: float) -> int:
+            vert = self.reg.vertex_near(self._point_at(u, s))
+            if id(vert) not in self.v_coords:
+                self.v_coords[id(vert)] = (u % TWO_PI, s)
+                vertices[id(vert)] = vert
+            return id(vert)
+
+        crossings = ([(u, self.v_bot) for u in xb]
+                     + [(u, self.v_top) for u in xt])
+        for (u1, s1), (u2, s2) in zip(crossings, crossings[1:]):
+            if (abs(s1 - s2) < 1e-9
+                    and abs((u1 - u2 + np.pi) % TWO_PI - np.pi) < 1e-3):
+                raise UnsupportedStep("revolution silhouette sliver")
+        for u_e, s_st in crossings:
+            if abs((u_e - self.u_s + np.pi) % TWO_PI - np.pi) < 1e-3:
+                raise UnsupportedStep(
+                    "revolution station crossing on the seam meridian")
+            key = add_vertex(u_e, s_st)
+            starts.append((key, +1 if s_st == self.v_bot else -1))
+        for s in seam_ss:
+            key = add_vertex(self.u_s, s)
+            starts.append((key, +1))
+            starts.append((key, -1))
+
+        # ---- trace the silhouette arcs
+        open_starts = set(starts)
+        if len(open_starts) != len(starts):
+            raise UnsupportedStep("coincident revolution silhouette events")
+        silhouette_pieces: List[_TracePiece] = []
+        while open_starts:
+            key, s_dir = next(iter(open_starts))
+            open_starts.discard((key, s_dir))
+            samples, end_key, d_f = self._walk(key, s_dir)
+            arrival = (end_key, -d_f)
+            if arrival not in open_starts:
+                raise UnsupportedStep("revolution silhouette trace mismatch")
+            open_starts.discard(arrival)
+            pts = np.stack([self._point_at(u, s) for u, s in samples])
+            v0, v1 = vertices[key], vertices[end_key]
+            pts[0], pts[-1] = v0.point, v1.point
+            bedge = BEdge(v0, v1, BCurve("poly", points=pts))
+            uw = np.array([[u, float(np.clip(self._w_of(s), 0.0, self.H))]
+                           for u, s in samples])
+            silhouette_pieces.append(_TracePiece(bedge, uw))
+
+        # ---- subdivide station circles and the seam; assemble regions
+        trace_pieces: List[_TracePiece] = list(silhouette_pieces)
+        for st, xs, s_st, w in ((0, xb, self.v_bot, 0.0),
+                                (1, xt, self.v_top, self.H)):
+            cut_pts = [self._point_at(u, s_st) for u in xs]
+            for edge in self.station_pieces[st]:
+                existing = [self._theta(edge.v0.point),
+                            self._theta(edge.v1.point)]
+                pts = [p for u, p in zip(xs, cut_pts)
+                       if all(abs((u - e + np.pi) % TWO_PI - np.pi) > 1e-4
+                              for e in existing)]
+                for sub in self._subdivide_circle(edge, pts):
+                    trace_pieces.append(self._station_trace_piece(sub, w))
+        seam_subs = self._subdivide_seam(seam_ss)
+        cycles = _BandTracer(trace_pieces).cycles()
+        return self._assemble(cycles, seam_subs)
+
+    def _emit(self, walk: List[Tuple[BEdge, int]]) -> BFace:
+        f = self.face
+        return BFace(f.surface_kind, f.frame, 0.0, 0.0, f.same_sense,
+                     [walk], fid=f.fid, profile=f.profile)
 
 
 def midpoint_of(edge: BEdge) -> np.ndarray:
@@ -1931,11 +2441,14 @@ def split_solid(solid: BSolid, projector: NativeProjector,
     registry = _SplitRegistry()
     replaced: Dict[int, List[BFace]] = {}
     curved = [f for f in solid.faces if f.surface_kind != PLANE]
-    for face in sorted(curved, key=lambda f: f.surface_kind in (SPHERE, TORUS)):
+    for face in sorted(curved, key=lambda f: f.surface_kind
+                       in (SPHERE, TORUS, REVOLUTION)):
         if face.surface_kind == SPHERE:
             subs = _SphereSplitter(face, projector, tol, registry).split()
         elif face.surface_kind == TORUS:
             subs = _TorusSplitter(face, projector, tol, registry).split()
+        elif face.surface_kind == REVOLUTION:
+            subs = _RevolutionSplitter(face, projector, tol, registry).split()
         elif face.surface_kind in (BSPLINE, EXTRUSION):
             subs = _ExtrusionSplitter(face, projector, tol, registry).split()
         else:
@@ -1971,17 +2484,28 @@ class NativeTopoMapper(TopoMapper):
         self.projector = NativeProjector(args)
         # sewn edges are detected on the ORIGINAL shape (reference
         # TopoMapper.py:118-143): an edge used twice within one face wire
-        sewn: List[int] = []
-        for face in solid.faces:
-            seen: List[int] = []
-            for loop in face.loops:
-                for edge, _ in loop:
-                    key = hash(edge)
-                    if key in seen:
-                        sewn.append(key)
-                    else:
-                        seen.append(key)
+        def find_sewn(shape: BSolid) -> List[int]:
+            out: List[int] = []
+            for face in shape.faces:
+                seen: List[int] = []
+                for loop in face.loops:
+                    for edge, _ in loop:
+                        key = hash(edge)
+                        if key in seen:
+                            out.append(key)
+                        else:
+                            seen.append(key)
+            return out
+
+        sewn = find_sewn(solid)
         split = split_solid(solid, self.projector, args.tol)
+        # when the split SUBDIVIDES a sewn seam (torus/revolution seams
+        # crossed by the silhouette), the seam's interior segments come
+        # back as sub-edges used twice within ONE sub-face wire (spurs);
+        # re-detect on the split shape so those are removed too, while
+        # seam segments that became REAL boundaries between two sub-faces
+        # (used once in each) are correctly kept
+        sewn += [k for k in find_sewn(split) if k not in sewn]
         self._construct_native_mapping(split)
         self._project_native(args.discretize_last)
         self._remove_sewn_edges(sewn)

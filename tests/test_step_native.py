@@ -646,6 +646,120 @@ class TestApexCone:
         assert len(apexes) == 1  # every ruling ends at the SAME vertex
 
 
+class TestRevolution:
+    """SURFACE_OF_REVOLUTION over B-spline meridian profiles: the HLR
+    condition is one-harmonic in the revolution angle per profile station,
+    so silhouette branches are analytic u(s) graphs traced by an s-sweep
+    with tangency flips; the torus band machinery assembles the regions
+    (reference: OCC HLR on GeomAbs_SurfaceOfRevolution faces,
+    TopoMapper.py:38-83; type 7 clamps to Other, data_para.py:76-80)."""
+
+    PRZ = np.array([[0.6, 0.0], [0.9, 0.3], [0.4, 0.6],
+                    [0.8, 0.9], [0.5, 1.2]])
+
+    def test_parse_roundtrip(self):
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_vase(self.PRZ))).solids()[0]
+        kinds = sorted(f.surface_kind for f in solid.faces)
+        assert kinds == [PLANE, PLANE, step21.REVOLUTION]
+        band = [f for f in solid.faces
+                if f.surface_kind == step21.REVOLUTION][0]
+        assert band.profile is not None and band.profile.degree == 3
+        # the seam edge shares the surface's profile curve entity
+        seam = [e for e, _ in band.loops[0] if e.curve.kind == "bspline"][0]
+        assert seam.curve is band.profile
+
+    @pytest.mark.parametrize("focus,loc", [
+        (3.0, (0.5, 1.0, 0.8)), (0.0, (0.2, -1.0, 0.5)),
+        (4.0, (0.7, -0.6, 0.9))])
+    def test_vase_pipeline(self, focus, loc):
+        topo, data = _pipeline_view(step21.brep_vase(self.PRZ), loc,
+                                    focus=focus)
+        types = sorted(f[0] for f in data["faces_indices"])
+        assert types.count(PLANE) == 2
+        assert types.count(step21.REVOLUTION) >= 2  # the band split
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+        for face in data["faces_indices"]:
+            flat = [i for lp in face[1] for i in lp]
+            assert is_face_enclosed(data["edges"], flat, 2e-4)
+        for rec in topo.all_faces.values():
+            assert len(rec.keys) == len(set(rec.keys))
+
+    def test_silhouette_polylines_satisfy_hlr_condition(self):
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_vase(self.PRZ))).solids()[0]
+        step_native.normalize_solid(solid)
+        band = [f for f in solid.faces
+                if f.surface_kind == step21.REVOLUTION][0]
+        proj = step_native.NativeProjector(ProjectionArgs(
+            location=(0.5, 1.0, 0.8), direction=(0.5, 1.0, 0.8), focus=3.0))
+        reg = step_native._SplitRegistry()
+        subs = step_native._RevolutionSplitter(band, proj, 1e-4, reg).split()
+        assert subs is not None
+        C, Z = band.frame.origin, band.frame.z
+        eye = proj.eye
+        checked = 0
+        for face in subs:
+            for edge, _ in face.loops[0]:
+                if edge.curve.kind != "poly":
+                    continue
+                pts = np.asarray(edge.curve.points)[1:-1:5]
+                for p in pts:
+                    # normal direction from the profile at this station
+                    q = p - C
+                    zc = float(q @ Z)
+                    rad = float(np.linalg.norm(q - zc * Z))
+                    er = (q - zc * Z) / rad
+                    s = step_native._RevolutionSplitter(
+                        band, proj, 1e-4,
+                        step_native._SplitRegistry())._v_of(p)
+                    d = step21.bspline_eval(
+                        step21.bspline_hodograph(band.profile), s)[0]
+                    pr, pz = float(d @ band.frame.x), float(d @ Z)
+                    n = pz * er - pr * Z
+                    view = p - eye
+                    cosang = abs(float(n @ view)) / (
+                        np.linalg.norm(n) * np.linalg.norm(view))
+                    assert cosang < 2e-2
+                    checked += 1
+        assert checked >= 4
+
+    def test_random_views_never_emit_bad_topology(self):
+        # conservative contract: any emitted split passes pairing +
+        # enclosedness; hard configs raise UnsupportedStep instead
+        rng = np.random.default_rng(7)
+        emitted = 0
+        for _ in range(12):
+            k = int(rng.integers(4, 7))
+            rho = rng.uniform(0.3, 1.0, size=k)
+            z = np.cumsum(rng.uniform(0.15, 0.45, size=k))
+            prz = np.stack([rho, z - z[0]], axis=1)
+            loc = rng.normal(size=3)
+            focus = float(rng.choice([0.0, 3.0]))
+            try:
+                topo, data = _pipeline_view(step21.brep_vase(prz),
+                                            tuple(loc), focus=focus)
+            except UnsupportedStep:
+                continue
+            emitted += 1
+            assert 2 * len(data["pairings"]) == len(data["edges"])
+            for face in data["faces_indices"]:
+                flat = [i for lp in face[1] for i in lp]
+                assert is_face_enclosed(data["edges"], flat, 2e-4)
+        assert emitted >= 6
+
+    def test_off_meridian_profile_raises(self):
+        text = step21.brep_vase(self.PRZ)
+        # bend one profile control point off the meridian plane
+        lines = text.splitlines()
+        for i, ln in enumerate(lines):
+            if "CARTESIAN_POINT('',(0.9," in ln:
+                lines[i] = ln.replace("(0.9,0,", "(0.9,0.2,")
+        with pytest.raises(UnsupportedStep):
+            step21._Resolver(step21.parse_step_text(
+                "\n".join(lines))).solids()
+
+
 class TestStepCorpusEndToEnd:
     def test_corpus(self, tmp_path):
         root = str(tmp_path)

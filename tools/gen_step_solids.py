@@ -20,9 +20,10 @@ whose silhouette-circle splitting shares equator vertices with the wall's
 ruling cuts), ring tori and round-top fillets (TOROIDAL_SURFACE bands
 with traced silhouette branches), freeform spline prisms
 (B_SPLINE_SURFACE_WITH_KNOTS extrusion walls over closed Bezier-segment
-chains, split along their t-free ruling silhouettes), and apex cones
+chains, split along their t-free ruling silhouettes), apex cones
 (one-station conical walls whose silhouette rulings share the apex
-vertex).
+vertex), and revolved vases (SURFACE_OF_REVOLUTION bands over B-spline
+meridian profiles, split along traced analytic-branch silhouettes).
 """
 
 import argparse
@@ -69,13 +70,18 @@ def random_footprint(rng: np.random.Generator) -> np.ndarray:
 def random_step_solid(rng: np.random.Generator, name: str) -> str:
     kind = rng.choice(["extrusion", "holes", "cylinder", "frustum",
                        "dome", "dome_block", "torus", "round_top", "spline",
-                       "cone"],
-                      p=[0.22, 0.22, 0.09, 0.09, 0.08, 0.08,
-                         0.05, 0.05, 0.08, 0.04])
+                       "cone", "vase"],
+                      p=[0.19, 0.19, 0.09, 0.09, 0.08, 0.08,
+                         0.05, 0.05, 0.08, 0.04, 0.06])
     h = float(rng.uniform(0.4, 1.2))
     if kind == "cone":
         return step21.brep_cone(float(rng.uniform(0.5, 0.9)),
                                 float(rng.uniform(0.7, 1.3)), name=name)
+    if kind == "vase":
+        k = int(rng.integers(4, 8))
+        rho = rng.uniform(0.35, 0.95, size=k)
+        z = np.cumsum(rng.uniform(0.15, 0.4, size=k))
+        return step21.brep_vase(np.stack([rho, z - z[0]], axis=1), name=name)
     if kind == "spline":
         segs = bezier_star_segments(
             rng, n=int(rng.integers(3, 7)),
