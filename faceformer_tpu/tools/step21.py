@@ -259,14 +259,13 @@ def bspline_domain(curve: "BCurve") -> Tuple[float, float]:
     return float(k[p]), float(k[len(k) - p - 1])
 
 
-def bspline_eval(curve: "BCurve", ts) -> np.ndarray:
-    """Points of a non-rational B-spline at parameters ``ts`` -> (T, dim),
-    by de Boor's algorithm vectorized over the parameter batch."""
-    ctrl = np.asarray(curve.ctrl, dtype=float)
-    knots, p = np.asarray(curve.knots, dtype=float), curve.degree
+def bspline_eval_raw(ctrl, knots, p: int, ts) -> np.ndarray:
+    """De Boor on a raw (N, dim) control net, vectorized over ``ts``;
+    parameters clamp to the knot domain."""
+    ctrl = np.asarray(ctrl, dtype=float)
+    knots = np.asarray(knots, dtype=float)
     ts = np.atleast_1d(np.asarray(ts, dtype=float))
-    lo, hi = bspline_domain(curve)
-    ts = np.clip(ts, lo, hi)
+    ts = np.clip(ts, knots[p], knots[len(knots) - p - 1])
     n = len(ctrl)
     k = np.searchsorted(knots, ts, side="right") - 1
     k = np.clip(k, p, n - 1)
@@ -283,17 +282,89 @@ def bspline_eval(curve: "BCurve", ts) -> np.ndarray:
     return d[:, p]
 
 
+def bspline_eval(curve: "BCurve", ts) -> np.ndarray:
+    """Points of a non-rational B-spline at parameters ``ts`` -> (T, dim),
+    by de Boor's algorithm vectorized over the parameter batch."""
+    return bspline_eval_raw(curve.ctrl, curve.knots, curve.degree, ts)
+
+
+def _hodograph_raw(ctrl, knots, p: int):
+    """Derivative control net: (ctrl', knots', p-1)."""
+    ctrl = np.asarray(ctrl, dtype=float)
+    knots = np.asarray(knots, dtype=float)
+    den = knots[p + 1:p + len(ctrl)] - knots[1:len(ctrl)]
+    safe = np.where(np.abs(den) > 1e-12, den, 1.0)
+    shape = (len(den),) + (1,) * (ctrl.ndim - 1)
+    q = np.where(np.abs(den).reshape(shape) > 1e-12,
+                 p * (ctrl[1:] - ctrl[:-1]) / safe.reshape(shape), 0.0)
+    return q, knots[1:-1], p - 1
+
+
 def bspline_hodograph(curve: "BCurve") -> "BCurve":
     """The derivative curve: degree p-1 over the interior knots."""
-    ctrl = np.asarray(curve.ctrl, dtype=float)
-    knots, p = np.asarray(curve.knots, dtype=float), curve.degree
-    if p < 1:
+    if curve.degree < 1:
         raise UnsupportedStep("degree-0 B-spline edge")
-    den = knots[p + 1:p + len(ctrl)] - knots[1:len(ctrl)]
-    safe = np.where(np.abs(den) > 1e-12, den, 1.0)[:, None]
-    q = np.where(np.abs(den)[:, None] > 1e-12,
-                 p * (ctrl[1:] - ctrl[:-1]) / safe, 0.0)
-    return BCurve("bspline", ctrl=q, knots=knots[1:-1], degree=p - 1)
+    q, knots, p = _hodograph_raw(curve.ctrl, curve.knots, curve.degree)
+    return BCurve("bspline", ctrl=q, knots=knots, degree=p)
+
+
+@dataclass(eq=False)
+class BPatch:
+    """A general (doubly-curved) non-rational tensor-product B-spline
+    surface patch: grid (nu, nv, 3) with full knot vectors."""
+
+    grid: np.ndarray
+    udeg: int
+    vdeg: int
+    uknots: np.ndarray
+    vknots: np.ndarray
+
+    def domain(self) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+        return ((float(self.uknots[self.udeg]),
+                 float(self.uknots[len(self.uknots) - self.udeg - 1])),
+                (float(self.vknots[self.vdeg]),
+                 float(self.vknots[len(self.vknots) - self.vdeg - 1])))
+
+
+def patch_eval(patch: BPatch, uvs) -> np.ndarray:
+    """S(u, v) at (T, 2) parameter pairs -> (T, 3): collapse v by treating
+    the grid as one v-curve in R^(nu*3), then de Boor each row in u."""
+    uvs = np.atleast_2d(np.asarray(uvs, dtype=float))
+    nu, nv, _ = patch.grid.shape
+    cv = patch.grid.transpose(1, 0, 2).reshape(nv, nu * 3)
+    rows = bspline_eval_raw(cv, patch.vknots, patch.vdeg, uvs[:, 1])
+    out = np.empty((len(uvs), 3))
+    for t in range(len(uvs)):
+        out[t] = bspline_eval_raw(rows[t].reshape(nu, 3),
+                                  patch.uknots, patch.udeg,
+                                  [uvs[t, 0]])[0]
+    return out
+
+
+def patch_partials(patch: BPatch) -> Tuple[BPatch, BPatch]:
+    """(dS/du, dS/dv) as derivative patches."""
+    gu, uk, up = _hodograph_raw(patch.grid, patch.uknots, patch.udeg)
+    su = BPatch(gu, up, patch.vdeg, uk, patch.vknots)
+    gv, vk, vp = _hodograph_raw(patch.grid.transpose(1, 0, 2),
+                                patch.vknots, patch.vdeg)
+    sv = BPatch(gv.transpose(1, 0, 2), patch.udeg, vp, patch.uknots, vk)
+    return su, sv
+
+
+def patch_boundary_curve(patch: BPatch, side: str) -> "BCurve":
+    """The iso-parameter boundary curve: side in u0/u1 (v-curves at the u
+    ends) or v0/v1 (u-curves at the v ends)."""
+    if side == "u0":
+        return BCurve("bspline", ctrl=patch.grid[0].copy(),
+                      knots=patch.vknots.copy(), degree=patch.vdeg)
+    if side == "u1":
+        return BCurve("bspline", ctrl=patch.grid[-1].copy(),
+                      knots=patch.vknots.copy(), degree=patch.vdeg)
+    if side == "v0":
+        return BCurve("bspline", ctrl=patch.grid[:, 0].copy(),
+                      knots=patch.uknots.copy(), degree=patch.udeg)
+    return BCurve("bspline", ctrl=patch.grid[:, -1].copy(),
+                  knots=patch.uknots.copy(), degree=patch.udeg)
 
 
 def bspline_reversed(curve: "BCurve") -> "BCurve":
@@ -338,9 +409,12 @@ class BFace:
     radius2: float = 0.0  # torus only: minor (tube) radius
     # BSPLINE/EXTRUSION only: the face is profile(u) + t * extrude — a
     # B_SPLINE_SURFACE_WITH_KNOTS that is linear in v, or a
-    # SURFACE_OF_LINEAR_EXTRUSION over a B-spline profile
+    # SURFACE_OF_LINEAR_EXTRUSION over a B-spline profile;
+    # REVOLUTION: profile is the meridian curve (extrude None);
+    # general (doubly-curved) BSPLINE faces carry ``patch`` instead
     profile: Optional[BCurve] = None
     extrude: Optional[np.ndarray] = None
+    patch: Optional[BPatch] = None
 
 
 @dataclass(eq=False)
@@ -553,9 +627,17 @@ class _Resolver:
                                  knots=full, degree=deg)
                 return BSPLINE, _extrusion_frame(g[0, 0], deltas[0]), \
                     profile, deltas[0].copy()
-            raise UnsupportedStep(
-                "general (doubly-curved) B_SPLINE_SURFACE_WITH_KNOTS is "
-                "outside the native subset; use the OCC backend")
+            # general doubly-curved patch: resolved with the full grid
+            full_u = expand_knots(u_knots, u_mults)
+            full_v = expand_knots(v_knots, v_mults)
+            if (len(full_u) != grid.shape[0] + int(u_deg) + 1
+                    or len(full_v) != grid.shape[1] + int(v_deg) + 1):
+                raise UnsupportedStep("inconsistent B-spline surface knots")
+            patch = BPatch(grid, int(u_deg), int(v_deg), full_u, full_v)
+            n = np.cross(grid[-1, 0] - grid[0, 0], grid[0, -1] - grid[0, 0])
+            if float(np.linalg.norm(n)) < 1e-9:  # frame is decorative
+                n = np.array([0.0, 0.0, 1.0])
+            return BSPLINE, _extrusion_frame(grid[0, 0], n), patch, None
         # SURFACE_OF_LINEAR_EXTRUSION('', swept_curve, extrusion VECTOR)
         _, curve_ref, vec_ref = surf.args
         profile = self.curve(curve_ref)
@@ -615,7 +697,7 @@ class _Resolver:
         _, bounds, surf_ref, same_sense = ent.args
         surf = self.get(surf_ref)
         semi_angle = 0.0
-        profile, extrude = None, None
+        profile, extrude, patch = None, None, None
         if surf.name == "PLANE":
             kind, frame, radius = PLANE, self.frame(surf.args[1]), 0.0
         elif surf.name == "CYLINDRICAL_SURFACE":
@@ -636,7 +718,11 @@ class _Resolver:
                     "subset; use the OCC backend")
         elif surf.name in ("B_SPLINE_SURFACE_WITH_KNOTS",
                            "SURFACE_OF_LINEAR_EXTRUSION"):
-            kind, frame, profile, extrude = self._extrusion_face(surf)
+            kind, frame, prof_or_patch, extrude = self._extrusion_face(surf)
+            if isinstance(prof_or_patch, BPatch):
+                patch = prof_or_patch
+            else:
+                profile = prof_or_patch
             radius = 0.0
         elif surf.name == "SURFACE_OF_REVOLUTION":
             kind, frame, profile = self._revolution_face(surf)
@@ -657,7 +743,7 @@ class _Resolver:
         return BFace(kind, frame, radius, semi_angle,
                      same_sense in (".T.", True), loops, fid=int(ref),
                      radius2=radius2 if surf.name == "TOROIDAL_SURFACE" else 0.0,
-                     profile=profile, extrude=extrude)
+                     profile=profile, extrude=extrude, patch=patch)
 
     def solids(self) -> List[BSolid]:
         out = []
@@ -791,6 +877,21 @@ class StepBuilder:
                 f"EDGE_CURVE('',{self.vertex(ctrl[0])},"
                 f"{self.vertex(ctrl[-1])},{curve},.T.)")
         return self._edges[key]
+
+    def bspline_patch(self, grid, udeg: int, vdeg: int,
+                      uknots, umults, vknots, vmults) -> str:
+        """General B_SPLINE_SURFACE_WITH_KNOTS from a (nu, nv, 3) grid."""
+        grid = np.asarray(grid, dtype=float)
+        rows = ",".join(
+            "(" + ",".join(self.point(p) for p in row) + ")" for row in grid)
+        uk = ",".join(self._fmt(k) for k in uknots)
+        vk = ",".join(self._fmt(k) for k in vknots)
+        um = ",".join(str(int(m)) for m in umults)
+        vm = ",".join(str(int(m)) for m in vmults)
+        return self.emit(
+            f"B_SPLINE_SURFACE_WITH_KNOTS('',{int(udeg)},{int(vdeg)},"
+            f"({rows}),.UNSPECIFIED.,.F.,.F.,.F.,({um}),({vm}),({uk}),"
+            f"({vk}),.UNSPECIFIED.)")
 
     def revolution(self, ctrl, degree: int, knots, mults,
                    axis_origin, axis_dir) -> str:
@@ -1111,6 +1212,89 @@ def brep_frustum(r_bottom: float, r_top: float, height: float,
         b.face([wall], b.cone(c0, _Z, x_axis, r_bottom, semi_angle)),
         b.face([[(circ0, False)]], b.plane(c0, -_Z)),
         b.face([[(circ1, True)]], b.plane(c1, _Z)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
+def brep_pillow(grid_z, half_x: float, half_y: float,
+                base_z: float = 0.0, name: str = "pillow") -> str:
+    """A box capped by a general doubly-curved B-spline patch roof: the
+    (nu, nv) ``grid_z`` heights (all > base_z) sit on a uniform control
+    grid over [-half_x, half_x] x [-half_y, half_y], so the patch's four
+    boundary iso-curves are PLANAR curves in the wall planes — each wall
+    is an ordinary planar face (straight bottom, vertical sides, B-spline
+    top) and the solid is watertight. The roof is the one surface class
+    the reference only reaches through OCC HLR on GeomAbs_BSplineSurface
+    faces (TopoMapper.py:38-83)."""
+    gz = np.asarray(grid_z, dtype=float)
+    nu, nv = gz.shape
+    if nu < 3 or nv < 3:
+        raise ValueError("need at least a 3x3 control grid")
+    if np.min(gz) <= base_z + 1e-9:
+        raise ValueError("roof control heights must sit above the base")
+    xs = np.linspace(-half_x, half_x, nu)
+    ys = np.linspace(-half_y, half_y, nv)
+    grid = np.stack([np.repeat(xs[:, None], nv, 1),
+                     np.repeat(ys[None, :], nu, 0), gz], axis=2)
+    udeg, vdeg = min(3, nu - 1), min(3, nv - 1)
+
+    def clamped(n, p):
+        n_int = n - p - 1
+        knots = tuple([0.0] + [(i + 1) / (n_int + 1) for i in range(n_int)]
+                      + [1.0])
+        mults = tuple([p + 1] + [1] * n_int + [p + 1])
+        return knots, mults
+
+    uk, um = clamped(nu, udeg)
+    vk, vm = clamped(nv, vdeg)
+    b = StepBuilder()
+    # roof boundary iso-curves as shared edges (v0: u-curve at y=-half_y...)
+    rim = {
+        "v0": b.bspline_edge(grid[:, 0], udeg, uk, um),
+        "v1": b.bspline_edge(grid[:, -1], udeg, uk, um),
+        "u0": b.bspline_edge(grid[0], vdeg, vk, vm),
+        "u1": b.bspline_edge(grid[-1], vdeg, vk, vm),
+    }
+    corners = {(0, 0): grid[0, 0], (1, 0): grid[-1, 0],
+               (0, 1): grid[0, -1], (1, 1): grid[-1, -1]}
+    base = {(i, j): np.array([xs[0] if i == 0 else xs[-1],
+                              ys[0] if j == 0 else ys[-1], base_z])
+            for i, j in corners}
+    posts = {ij: b.line_edge(base[ij], corners[ij]) for ij in corners}
+    bot = {
+        "v0": b.line_edge(base[(0, 0)], base[(1, 0)]),
+        "u1": b.line_edge(base[(1, 0)], base[(1, 1)]),
+        "v1": b.line_edge(base[(0, 1)], base[(1, 1)]),
+        "u0": b.line_edge(base[(0, 0)], base[(0, 1)]),
+    }
+    faces = [
+        # roof: CCW seen from above (+u along v0, +v along u1, ...)
+        b.face([[(rim["v0"], True), (rim["u1"], True),
+                 (rim["v1"], False), (rim["u0"], False)]],
+               b.bspline_patch(grid, udeg, vdeg, uk, um, vk, vm)),
+        # walls: bottom forward, far post up, rim back, near post down
+        b.face([[(bot["v0"], True), (posts[(1, 0)], True),
+                 (rim["v0"], False), (posts[(0, 0)], False)]],
+               b.plane(np.array([0.0, -half_y, base_z]),
+                       np.array([0.0, -1.0, 0.0]))),
+        b.face([[(bot["u1"], True), (posts[(1, 1)], True),
+                 (rim["u1"], False), (posts[(1, 0)], False)]],
+               b.plane(np.array([half_x, 0.0, base_z]),
+                       np.array([1.0, 0.0, 0.0]))),
+        b.face([[(bot["v1"], False), (posts[(0, 1)], True),
+                 (rim["v1"], True), (posts[(1, 1)], False)]],
+               b.plane(np.array([0.0, half_y, base_z]),
+                       np.array([0.0, 1.0, 0.0]))),
+        b.face([[(bot["u0"], False), (posts[(0, 0)], True),
+                 (rim["u0"], True), (posts[(0, 1)], False)]],
+               b.plane(np.array([-half_x, 0.0, base_z]),
+                       np.array([-1.0, 0.0, 0.0]))),
+        # base: CW seen from above (outward normal -z)
+        b.face([[(bot["v0"], False), (bot["u0"], True),
+                 (bot["v1"], True), (bot["u1"], False)]],
+               b.plane(np.array([0.0, 0.0, base_z]),
+                       np.array([0.0, 0.0, -1.0]))),
     ]
     b.solid(faces, name=name)
     return b.text(f"{name}.step")

@@ -49,6 +49,7 @@ from faceformer_tpu.tools.step21 import (
     BCurve, BEdge, BFace, BSolid, BVertex, Frame, UnsupportedStep,
     BSPLINE, CONE, CYLINDER, EXTRUSION, PLANE, REVOLUTION, SPHERE, TORUS,
     bspline_domain, bspline_eval, bspline_hodograph,
+    patch_boundary_curve, patch_eval, patch_partials,
 )
 from faceformer_tpu.tools.occ_pipeline import (
     EdgeRecord, FaceRecord, ProjectionArgs, TopoMapper,
@@ -167,6 +168,14 @@ def solid_bbox(solid: BSolid, tol: float = 1e-3) -> Tuple[np.ndarray, np.ndarray
             pts.append(_torus_band_extremes(face))
         elif face.surface_kind == REVOLUTION:
             pts.append(_revolution_extremes(face))
+        elif face.patch is not None:
+            # a doubly-curved patch bulges past its boundary edges: sample
+            # the surface densely (the control hull would over-estimate)
+            (ul, uh), (vl, vh) = face.patch.domain()
+            uv = np.stack(np.meshgrid(np.linspace(ul, uh, 33),
+                                      np.linspace(vl, vh, 33),
+                                      indexing="ij"), axis=-1)
+            pts.append(patch_eval(face.patch, uv.reshape(-1, 2)))
     pts = np.concatenate(pts)
     return pts.min(axis=0), pts.max(axis=0)
 
@@ -273,6 +282,9 @@ def normalize_solid(solid: BSolid) -> float:
             face.profile.ctrl = _move(np.asarray(face.profile.ctrl, dtype=float))
         if face.extrude is not None:
             face.extrude = np.asarray(face.extrude, dtype=float) * scale
+        if face.patch is not None and id(face.patch) not in seen:
+            seen.add(id(face.patch))
+            face.patch.grid = _move(np.asarray(face.patch.grid, dtype=float))
         for loop in face.loops:
             for edge, _ in loop:
                 if id(edge) in seen:
@@ -2173,6 +2185,341 @@ class _RevolutionSplitter(_TorusSplitter):
                      [walk], fid=f.fid, profile=f.profile)
 
 
+class _PatchSplitter:
+    """Split one general (doubly-curved) B-spline patch face along its
+    silhouette.
+
+    The supported face is a FULL quad patch: single loop of four B-spline
+    edges that ARE the patch's boundary iso-curves (trimmed patches raise
+    toward the OCC backend). The silhouette g(u, v) = N(u, v).(S - E) = 0
+    has no analytic structure, so it is traced numerically: boundary
+    events come from sign-change bisection of g along the four sides,
+    arcs march between events with a predictor (perpendicular to the
+    finite-difference gradient) and a Newton corrector, and a flood fill
+    of g's sign over a sample grid rejects interior silhouette islands.
+    Region assembly reuses the half-edge cycle tracer on the (u, v)
+    rectangle: every region is a disc (positive shoelace area); the one
+    negative cycle is the domain exterior and is dropped. This is the
+    surface class the reference only reaches through OCC HLR
+    (GeomAbs_BSplineSurface faces, TopoMapper.py:38-83)."""
+
+    _GRID = 65  # island-detection sample grid per axis
+
+    def __init__(self, face: BFace, projector: NativeProjector, tol: float,
+                 registry: "_SplitRegistry"):
+        self.face, self.tol, self.reg = face, tol, registry
+        if len(face.loops) != 1:
+            raise UnsupportedStep(
+                "multi-loop patch faces need the OCC backend")
+        self.loop = registry.expand(face.loops[0])
+        self.patch = face.patch
+        self.su, self.sv = patch_partials(self.patch)
+        (self.ul, self.uh), (self.vl, self.vh) = self.patch.domain()
+        self.du_dom = self.uh - self.ul
+        self.dv_dom = self.vh - self.vl
+        if projector.eye is None:
+            self.view, self.persp = projector.n, False
+        else:
+            self.view, self.persp = projector.eye, True
+
+    # -- the silhouette functional -------------------------------------------
+
+    def _g(self, uvs) -> np.ndarray:
+        uvs = np.atleast_2d(np.asarray(uvs, dtype=float))
+        n = np.cross(patch_eval(self.su, uvs), patch_eval(self.sv, uvs))
+        if not self.persp:
+            return n @ self.view
+        return np.einsum("ij,ij->i",
+                         n, patch_eval(self.patch, uvs) - self.view[None, :])
+
+    def _grad(self, uv) -> np.ndarray:
+        eu = 1e-6 * self.du_dom
+        ev = 1e-6 * self.dv_dom
+        u, v = float(uv[0]), float(uv[1])
+        g = self._g([(u + eu, v), (u - eu, v), (u, v + ev), (u, v - ev)])
+        return np.array([(g[0] - g[1]) / (2 * eu), (g[2] - g[3]) / (2 * ev)])
+
+    # -- boundary classification ----------------------------------------------
+
+    _SIDES = ("v0", "u1", "v1", "u0")
+
+    def _side_uv(self, side: str, t: float) -> Tuple[float, float]:
+        """Domain coords of boundary parameter t (the iso-curve's own
+        parameter: u for v0/v1 sides, v for u0/u1)."""
+        if side == "v0":
+            return t, self.vl
+        if side == "v1":
+            return t, self.vh
+        if side == "u0":
+            return self.ul, t
+        return self.uh, t
+
+    def _side_dom(self, side: str) -> Tuple[float, float]:
+        return (self.ul, self.uh) if side in ("v0", "v1") else (self.vl, self.vh)
+
+    def _classify(self):
+        edges = []
+        for edge, orient in self.loop:
+            if edge.curve.kind != "bspline":
+                raise UnsupportedStep("patch face with a non-spline edge")
+            edges.append(edge)
+        if len(edges) != 4 or len({id(e) for e in edges}) != 4:
+            raise UnsupportedStep(
+                "patch face is not a full four-sided quad; use the OCC "
+                "backend (trimmed patches)")
+        self.sides: Dict[str, Tuple[BEdge, bool]] = {}
+        for side in self._SIDES:
+            iso = patch_boundary_curve(self.patch, side)
+            lo, hi = bspline_domain(iso)
+            ts = np.linspace(lo, hi, 9)
+            want = bspline_eval(iso, ts)
+            hit = None
+            for e in edges:
+                elo, ehi = (e.arc_span if e.arc_span is not None
+                            else bspline_domain(e.curve))
+                m = elo + (ts - lo) * (ehi - elo) / (hi - lo)
+                if float(np.max(np.abs(
+                        bspline_eval(e.curve, m) - want))) < 1e-6:
+                    hit = (e, True)
+                    break
+                if float(np.max(np.abs(
+                        bspline_eval(e.curve, (elo + ehi) - m)
+                        - want))) < 1e-6:
+                    hit = (e, False)
+                    break
+            if hit is None:
+                raise UnsupportedStep(
+                    f"patch boundary edge for side {side} not found "
+                    "(trimmed patch?); use the OCC backend")
+            edges.remove(hit[0])
+            self.sides[side] = hit
+
+    def _edge_t(self, side: str, t_dom: float) -> float:
+        """Boundary edge curve parameter of domain boundary parameter."""
+        edge, fwd = self.sides[side]
+        elo, ehi = (edge.arc_span if edge.arc_span is not None
+                    else bspline_domain(edge.curve))
+        lo, hi = self._side_dom(side)
+        t = elo + (t_dom - lo) * (ehi - elo) / (hi - lo)
+        return t if fwd else (elo + ehi) - t
+
+    # -- events ---------------------------------------------------------------
+
+    def _side_events(self, side: str) -> List[float]:
+        lo, hi = self._side_dom(side)
+        ts = np.linspace(lo, hi, 257)
+        g = self._g([self._side_uv(side, float(t)) for t in ts])
+        out: List[float] = []
+        for a, b, ga, gb in zip(ts[:-1], ts[1:], g[:-1], g[1:]):
+            if ga == 0.0 or ga * gb >= 0.0:
+                continue
+            x, y, fa = float(a), float(b), float(ga)
+            for _ in range(60):
+                m = (x + y) / 2
+                fm = float(self._g([self._side_uv(side, m)])[0])
+                if fa * fm <= 0.0:
+                    y = m
+                else:
+                    x, fa = m, fm
+            out.append((x + y) / 2)
+        eps = 1e-3 * (hi - lo)
+        if any(t < lo + eps or t > hi - eps for t in out):
+            raise UnsupportedStep("patch silhouette through a domain corner")
+        for a, b in zip(out, out[1:]):
+            if b - a < 2 * eps:
+                raise UnsupportedStep("patch silhouette sliver")
+        return out
+
+    def _guard_islands(self, has_events: bool):
+        """Flood-fill g's sign components on a sample grid from the
+        boundary; an interior component that never touches the boundary is
+        a silhouette island the quad assembly cannot represent."""
+        m = self._GRID
+        us = np.linspace(self.ul, self.uh, m)
+        vs = np.linspace(self.vl, self.vh, m)
+        uv = np.stack(np.meshgrid(us, vs, indexing="ij"), axis=-1)
+        sign = self._g(uv.reshape(-1, 2)).reshape(m, m) > 0
+        reach = np.zeros((m, m), dtype=bool)
+        reach[0, :] = reach[-1, :] = reach[:, 0] = reach[:, -1] = True
+        for _ in range(2 * m):
+            grow = reach.copy()
+            grow[1:, :] |= reach[:-1, :] & (sign[1:, :] == sign[:-1, :])
+            grow[:-1, :] |= reach[1:, :] & (sign[:-1, :] == sign[1:, :])
+            grow[:, 1:] |= reach[:, :-1] & (sign[:, 1:] == sign[:, :-1])
+            grow[:, :-1] |= reach[:, 1:] & (sign[:, :-1] == sign[:, 1:])
+            if bool((grow == reach).all()):
+                break
+            reach = grow
+        if not bool(reach.all()):
+            raise UnsupportedStep(
+                "patch silhouette island (camera too close); use the "
+                "OCC backend")
+        if not has_events and bool(sign.all() != sign.any()):
+            # mixed signs with no boundary events cannot happen without an
+            # island; reaching here means the grid missed it
+            raise UnsupportedStep("inconsistent patch silhouette events")
+
+    # -- marching ---------------------------------------------------------------
+
+    def _march(self, key: int):
+        """Trace the silhouette from a boundary event vertex into the
+        domain until it exits at another event; returns (samples, end)."""
+        u, v = self.v_coords[key]
+        h = 1.0 / 512.0 * float(np.hypot(self.du_dom, self.dv_dom))
+        # inward unit normal at the start
+        inward = np.array([
+            (1.0 if abs(u - self.ul) < abs(u - self.uh) else -1.0)
+            if min(abs(u - self.ul), abs(u - self.uh))
+            < min(abs(v - self.vl), abs(v - self.vh)) else 0.0, 0.0])
+        if inward[0] == 0.0:
+            inward = np.array([
+                0.0, 1.0 if abs(v - self.vl) < abs(v - self.vh) else -1.0])
+        p = np.array([u, v])
+        samples = [(float(p[0]), float(p[1]))]
+        prev_t = None
+        for _ in range(16384):
+            grad = self._grad(p)
+            gn = float(np.linalg.norm(grad))
+            if gn < 1e-12:
+                raise UnsupportedStep("tangential patch silhouette")
+            t = np.array([-grad[1], grad[0]]) / gn
+            if prev_t is None:
+                if float(t @ inward) < 0:
+                    t = -t
+                if abs(float(t @ inward)) < 1e-3:
+                    raise UnsupportedStep("patch silhouette grazes the "
+                                          "boundary")
+            elif float(t @ prev_t) < 0:
+                t = -t
+            q = p + h * t
+            for _ in range(3):  # Newton corrector
+                gq = float(self._g([q])[0])
+                gr = self._grad(q)
+                q = q - gq * gr / max(float(gr @ gr), 1e-18)
+            inside = (self.ul <= q[0] <= self.uh
+                      and self.vl <= q[1] <= self.vh)
+            if not inside:
+                # bisect the exit along the curve parameterized by step
+                # fraction, then land on the matching boundary event
+                x, y = 0.0, 1.0
+                for _ in range(40):
+                    mfrac = (x + y) / 2
+                    qm = p + mfrac * (q - p)
+                    if (self.ul <= qm[0] <= self.uh
+                            and self.vl <= qm[1] <= self.vh):
+                        x = mfrac
+                    else:
+                        y = mfrac
+                qx = p + x * (q - p)
+                end = None
+                for k2, (uk, vk) in self.v_coords.items():
+                    if (k2 != key or len(samples) > 4) and \
+                            np.hypot(uk - qx[0], vk - qx[1]) < 4 * h:
+                        end = k2
+                        break
+                if end is None:
+                    raise UnsupportedStep(
+                        "patch silhouette exit misses its boundary event")
+                samples.append(self.v_coords[end])
+                return samples, end
+            prev_t = t
+            p = q
+            samples.append((float(p[0]), float(p[1])))
+        raise UnsupportedStep("unterminated patch silhouette trace")
+
+    # -- the split --------------------------------------------------------------
+
+    def split(self) -> Optional[List[BFace]]:
+        self._classify()
+        events = {side: self._side_events(side) for side in self._SIDES}
+        n_events = sum(len(v) for v in events.values())
+        if n_events % 2:
+            raise UnsupportedStep("odd patch silhouette event count")
+        self._guard_islands(n_events > 0)
+        if n_events == 0:
+            return None
+
+        self.v_coords: Dict[int, Tuple[float, float]] = {}
+        vertices: Dict[int, BVertex] = {}
+        for side, ts in events.items():
+            for t in ts:
+                uv = self._side_uv(side, t)
+                vert = self.reg.vertex_near(patch_eval(self.patch, [uv])[0])
+                self.v_coords[id(vert)] = uv
+                vertices[id(vert)] = vert
+
+        # trace the arcs (each consumes its two endpoint events)
+        open_keys = set(self.v_coords)
+        pieces: List[_TracePiece] = []
+        while open_keys:
+            key = next(iter(open_keys))
+            open_keys.discard(key)
+            samples, end = self._march(key)
+            if end not in open_keys:
+                raise UnsupportedStep("patch silhouette trace mismatch")
+            open_keys.discard(end)
+            pts = patch_eval(self.patch, np.asarray(samples))
+            pts[0] = vertices[key].point
+            pts[-1] = vertices[end].point
+            bedge = BEdge(vertices[key], vertices[end],
+                          BCurve("poly", points=pts))
+            pieces.append(_TracePiece(bedge, np.asarray(samples)))
+
+        # subdivide the boundary edges at their events
+        for side in self._SIDES:
+            edge, fwd = self.sides[side]
+            ts_dom = events[side]
+            lo, hi = self._side_dom(side)
+            bounds_dom = [lo] + sorted(ts_dom) + [hi]
+            if not ts_dom:
+                subs = [edge]
+            else:
+                # ascending edge-parameter order regardless of the side's
+                # domain direction (sub-edges are built natural-first)
+                inner = sorted(self._edge_t(side, t) for t in ts_dom)
+                elo, ehi = (edge.arc_span if edge.arc_span is not None
+                            else bspline_domain(edge.curve))
+                ebounds = [elo] + inner + [ehi]
+                everts = [edge.v0]
+                for te in inner:
+                    p = bspline_eval(edge.curve, te)[0]
+                    everts.append(self.reg.vertex_near(p))
+                everts.append(edge.v1)
+                subs = [BEdge(everts[i], everts[i + 1], edge.curve,
+                              arc_span=(ebounds[i], ebounds[i + 1]))
+                        for i in range(len(ebounds) - 1)]
+                self.reg.substitute(edge, subs)
+            # trace pieces for the sub-edges, in domain coords
+            doms = bounds_dom if fwd else bounds_dom[::-1]
+            for i, sub in enumerate(subs):
+                a = self._side_uv(side, doms[i])
+                b = self._side_uv(side, doms[i + 1])
+                pieces.append(_TracePiece(sub, np.array([a, b])))
+
+        cycles = _BandTracer(pieces).cycles()
+        area_dom = self.du_dom * self.dv_dom
+        out: List[BFace] = []
+        neg = 0
+        covered = 0.0
+        for cycle in cycles:
+            uw = _cycle_uw(cycle)
+            area = float((uw[:-1, 0] * uw[1:, 1]
+                          - uw[:-1, 1] * uw[1:, 0]).sum()) / 2.0
+            if area < 0:
+                neg += 1
+                continue
+            covered += area
+            walk = [(p.edge, 0 if d > 0 else 1) for p, d in cycle]
+            f = self.face
+            out.append(BFace(f.surface_kind, f.frame, 0.0, 0.0,
+                             f.same_sense, [walk], fid=f.fid,
+                             patch=f.patch))
+        if neg != 1 or abs(covered - area_dom) > 1e-3 * area_dom:
+            raise UnsupportedStep("patch region assembly did not tile the "
+                                  "domain; use the OCC backend")
+        return out
+
+
 def midpoint_of(edge: BEdge) -> np.ndarray:
     """3D midpoint of an edge along its curve (arc-aware)."""
     if edge.curve.kind == "line":
@@ -2442,13 +2789,16 @@ def split_solid(solid: BSolid, projector: NativeProjector,
     replaced: Dict[int, List[BFace]] = {}
     curved = [f for f in solid.faces if f.surface_kind != PLANE]
     for face in sorted(curved, key=lambda f: f.surface_kind
-                       in (SPHERE, TORUS, REVOLUTION)):
+                       in (SPHERE, TORUS, REVOLUTION)
+                       or f.patch is not None):
         if face.surface_kind == SPHERE:
             subs = _SphereSplitter(face, projector, tol, registry).split()
         elif face.surface_kind == TORUS:
             subs = _TorusSplitter(face, projector, tol, registry).split()
         elif face.surface_kind == REVOLUTION:
             subs = _RevolutionSplitter(face, projector, tol, registry).split()
+        elif face.surface_kind == BSPLINE and face.patch is not None:
+            subs = _PatchSplitter(face, projector, tol, registry).split()
         elif face.surface_kind in (BSPLINE, EXTRUSION):
             subs = _ExtrusionSplitter(face, projector, tol, registry).split()
         else:

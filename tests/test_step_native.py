@@ -760,6 +760,107 @@ class TestRevolution:
                 "\n".join(lines))).solids()
 
 
+class TestPatch:
+    """General doubly-curved B-spline patch faces: silhouettes have no
+    analytic structure, so boundary events come from 1-D bisection along
+    the four sides, arcs march with predictor-corrector steps on the
+    finite-difference gradient, and a sign flood fill rejects interior
+    islands (reference: OCC HLR on GeomAbs_BSplineSurface faces,
+    TopoMapper.py:38-83; type 6 clamps to Other, data_para.py:76-80)."""
+
+    GZ = np.array([[0.5, 0.55, 0.5], [0.6, 1.1, 0.6], [0.5, 0.55, 0.5]])
+
+    def test_parse_roundtrip(self):
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_pillow(self.GZ, 0.8, 0.7))).solids()[0]
+        kinds = sorted(f.surface_kind for f in solid.faces)
+        assert kinds == [PLANE] * 5 + [step21.BSPLINE]
+        roof = [f for f in solid.faces
+                if f.surface_kind == step21.BSPLINE][0]
+        assert roof.patch is not None and roof.patch.grid.shape == (3, 3, 3)
+        assert roof.profile is None  # general patch, not an extrusion
+
+    def test_patch_eval_matches_tensor_deboor(self):
+        rng = np.random.default_rng(3)
+        grid = rng.normal(size=(5, 4, 3))
+        patch = step21.BPatch(grid, 3, 3,
+                              step21.expand_knots([0., .5, 1.], [4, 1, 4]),
+                              step21.expand_knots([0., 1.], [4, 4]))
+        (ul, uh), (vl, vh) = patch.domain()
+        for u, v in [(0.2, 0.3), (0.77, 0.9), (ul, vl), (uh, vh)]:
+            # reference: collapse u first instead of v
+            cu = grid.reshape(5, -1)
+            rows = step21.bspline_eval_raw(cu, patch.uknots, 3, [u])[0]
+            want = step21.bspline_eval_raw(rows.reshape(4, 3),
+                                           patch.vknots, 3, [v])[0]
+            got = step21.patch_eval(patch, [(u, v)])[0]
+            np.testing.assert_allclose(got, want, atol=1e-12)
+
+    @pytest.mark.parametrize("focus,loc", [
+        (0.0, (1.0, 0.2, -0.3)), (3.0, (0.6, -0.9, 0.4))])
+    def test_low_view_splits_roof(self, focus, loc):
+        topo, data = _pipeline_view(step21.brep_pillow(self.GZ, 0.8, 0.7),
+                                    loc, focus=focus)
+        types = sorted(f[0] for f in data["faces_indices"])
+        assert types.count(step21.BSPLINE) == 2  # roof split once
+        assert types.count(PLANE) == 5
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+        for face in data["faces_indices"]:
+            flat = [i for lp in face[1] for i in lp]
+            assert is_face_enclosed(data["edges"], flat, 2e-4)
+
+    def test_top_view_no_split(self):
+        topo, data = _pipeline_view(step21.brep_pillow(self.GZ, 0.8, 0.7),
+                                    (0.3, 0.2, 1.0), focus=0.0)
+        assert sorted(f[0] for f in data["faces_indices"]).count(
+            step21.BSPLINE) == 1
+
+    def test_silhouette_polyline_satisfies_hlr_condition(self):
+        solid = step21._Resolver(step21.parse_step_text(
+            step21.brep_pillow(self.GZ, 0.8, 0.7))).solids()[0]
+        step_native.normalize_solid(solid)
+        roof = [f for f in solid.faces
+                if f.surface_kind == step21.BSPLINE][0]
+        proj = step_native.NativeProjector(ProjectionArgs(
+            location=(0.6, -0.9, 0.4), direction=(0.6, -0.9, 0.4),
+            focus=3.0))
+        sp = step_native._PatchSplitter(roof, proj, 1e-4,
+                                        step_native._SplitRegistry())
+        subs = sp.split()
+        assert subs is not None and len(subs) == 2
+        # the traced curve must satisfy g = 0 far below the functional's
+        # scale over the domain (the corrector converges each sample)
+        key = next(iter(sp.v_coords))
+        samples, _end = sp._march(key)
+        g = np.abs(sp._g(np.asarray(samples[1:-1])))
+        scale = float(np.max(np.abs(sp._g(np.stack(np.meshgrid(
+            np.linspace(sp.ul, sp.uh, 9), np.linspace(sp.vl, sp.vh, 9),
+            indexing="ij"), axis=-1).reshape(-1, 2)))))
+        assert float(np.max(g)) < 1e-6 * scale
+        checked = len(g)
+        assert checked >= 10
+
+    def test_random_views_never_emit_bad_topology(self):
+        rng = np.random.default_rng(11)
+        emitted = 0
+        for _ in range(6):
+            gz = rng.uniform(0.4, 1.2, size=(int(rng.integers(3, 5)),
+                                             int(rng.integers(3, 5))))
+            loc = rng.normal(size=3)
+            try:
+                topo, data = _pipeline_view(
+                    step21.brep_pillow(gz, 0.8, 0.8), tuple(loc),
+                    focus=float(rng.choice([0.0, 3.0])))
+            except UnsupportedStep:
+                continue
+            emitted += 1
+            assert 2 * len(data["pairings"]) == len(data["edges"])
+            for face in data["faces_indices"]:
+                flat = [i for lp in face[1] for i in lp]
+                assert is_face_enclosed(data["edges"], flat, 2e-4)
+        assert emitted >= 4
+
+
 class TestStepCorpusEndToEnd:
     def test_corpus(self, tmp_path):
         root = str(tmp_path)
