@@ -163,7 +163,12 @@ def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarra
     if DROPOUT_BITS == 32:
         mask = jax.random.bernoulli(rng, keep, x.shape)
     else:
-        thresh = int(round(keep * (1 << DROPOUT_BITS)))
+        # clamp: keep probs within 0.5/2^bits of 1.0 would round thresh to
+        # 2^bits, which wraps to all-False in the uint comparison and
+        # silently zeroes every activation — cap at the dtype max so such
+        # rates keep (nearly) everything instead of dropping everything
+        thresh = min(int(round(keep * (1 << DROPOUT_BITS))),
+                     (1 << DROPOUT_BITS) - 1)
         mask = jax.random.bits(rng, x.shape, _BIT_DTYPES[DROPOUT_BITS]) < thresh
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
@@ -479,12 +484,17 @@ def _scan_stack(layer_fn, stacked: Params, x: jnp.ndarray, rng: Optional[jax.Arr
         # re-derives the residual chain from cheap adds/LNs instead of
         # re-running attention/FFN matmuls.
         cp = jax.checkpoint_policies
-        policy = {
+        policies = {
             "full": None,
             "dots": cp.dots_with_no_batch_dims_saveable,
             "attn": cp.save_only_these_names("attn_out"),
             "attn_ffn": cp.save_only_these_names("attn_out", "ffn_out"),
-        }[remat_policy]
+        }
+        if remat_policy not in policies:
+            raise ValueError(
+                f"model.remat_policy must be one of {sorted(policies)}, "
+                f"got {remat_policy!r}")
+        policy = policies[remat_policy]
         layer_fn = jax.checkpoint(layer_fn, static_argnums=(), policy=policy)
 
     def body(carry, inputs):

@@ -46,18 +46,26 @@ class CheckpointManager:
             # data dirs no longer exist (only the small .meta.json sidecars
             # survive in git) — restoring such an entry is a guaranteed
             # FileNotFoundError. Drop them, and their orphaned sidecars.
-            repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))))
+            # Entries are written into this manager's own directory
+            # (save() joins self.directory), so resolve them against the
+            # index file's directory rather than cwd or the package
+            # location — both of which differ from the write-time base
+            # when training ran from another cwd or the package is
+            # installed.
+            index_dir = os.path.dirname(os.path.abspath(self._index_path))
+
+            def _resolve(path: str) -> str:
+                if os.path.isabs(path):
+                    return path
+                return os.path.join(index_dir, os.path.basename(path))
+
             live, stale = [], []
             for e in self._index.get("top", []):
-                path = e[1]
-                full = path if os.path.isabs(path) else os.path.join(repo_root, path)
-                (live if os.path.isdir(full) else stale).append(e)
+                (live if os.path.isdir(_resolve(e[1])) else stale).append(e)
             if stale:
                 self._index["top"] = live
                 for e in stale:
-                    path = e[1]
-                    full = path if os.path.isabs(path) else os.path.join(repo_root, path)
+                    full = _resolve(e[1])
                     if os.path.exists(full + ".meta.json"):
                         os.remove(full + ".meta.json")
                 with open(self._index_path, "w") as f:

@@ -216,7 +216,13 @@ class TestRejections:
         with pytest.raises(UnsupportedStep, match="trimmed"):
             res.edge(9)
 
-    def test_doubly_curved_surface_raises(self, tmp_path):
+    def test_doubly_curved_surface_resolves_as_patch(self, tmp_path):
+        # Historically this warp raised UnsupportedStep("doubly-curved");
+        # since _PatchSplitter (step_native.py) landed, a wall whose
+        # control grid is no longer a translate of its profile resolves
+        # as a general B-spline patch (f.patch set, no extrusion profile)
+        # instead of being rejected. Reference reads the same class via
+        # OCC HLR on GeomAbs_BSplineSurface faces (TopoMapper.py:38-83).
         rng = np.random.default_rng(8)
         segs = _star_segments(rng, n=3)
         text = step21.brep_spline_prism(segs, 0.0, 1.0)
@@ -226,8 +232,6 @@ class TestRejections:
         lines = text.splitlines()
         for i, ln in enumerate(lines):
             if marker in ln:
-                ref = ln.split("(")[1].split(",")[0]
-                del ref
                 # swap the v-row order of the FIRST grid pair: (#a,#b) ->
                 # (#b,#a) breaks the constant-delta check for that row only
                 head, grid = ln.split(",((", 1)
@@ -237,5 +241,10 @@ class TestRejections:
                 break
         path = tmp_path / "warp.step"
         path.write_text("\n".join(lines))
-        with pytest.raises(UnsupportedStep, match="doubly-curved"):
-            step21.read_brep(str(path))
+        solid = step21.read_brep(str(path))[0]
+        walls = [f for f in solid.faces if f.surface_kind == BSPLINE]
+        assert len(walls) == 3
+        patched = [w for w in walls if w.patch is not None]
+        ruled = [w for w in walls if w.profile is not None]
+        assert len(patched) == 1 and len(ruled) == 2
+        assert patched[0].profile is None  # general patch, not an extrusion

@@ -7,18 +7,22 @@ import sys
 
 
 def best_ckpt(log_dir: str) -> str:
-    index = os.path.join(log_dir, "checkpoints", "index.json")
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = os.path.abspath(os.path.join(log_dir, "checkpoints"))
+    index = os.path.join(ckpt_dir, "index.json")
     with open(index) as f:
         idx = json.load(f)
     # checkpoint weights are gitignored, so an index carried across a round
     # boundary can list entries whose data dirs no longer exist — only pick
-    # checkpoints that are actually restorable
+    # checkpoints that are actually restorable. Entries were written into
+    # this same checkpoints/ directory, so resolve them by basename against
+    # it (index paths are relative to the training run's cwd, which need
+    # not be ours).
     live = [e for e in idx.get("top", ())
-            if os.path.isdir(os.path.join(repo, e[1]))]
+            if os.path.isdir(os.path.join(ckpt_dir, os.path.basename(e[1])))]
     if live:
-        return max(live, key=lambda e: (e[0], e[2] if len(e) > 2 else 0))[1]
-    return idx["last"]
+        best = max(live, key=lambda e: (e[0], e[2] if len(e) > 2 else 0))[1]
+        return os.path.join(ckpt_dir, os.path.basename(best))
+    return os.path.join(ckpt_dir, os.path.basename(idx["last"]))
 
 
 if __name__ == "__main__":
