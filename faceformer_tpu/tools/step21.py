@@ -224,13 +224,18 @@ class BVertex:
 
 @dataclass(eq=False)
 class BCurve:
-    kind: str  # 'line' | 'circle' | 'poly' | 'bspline'
+    kind: str  # 'line' | 'circle' | 'poly' | 'bspline' | 'rational_deriv'
     # line: point + unit direction; circle: frame + radius;
     # poly: sampled 3D polyline ``points`` (N,3) — the representation of
     # non-circular silhouette curves (a torus outline is a quartic; OCC's
     # HLR hands these over as discretized outline edges too);
-    # bspline: non-rational B-spline ``ctrl`` (N,3) control points with the
-    # FULL (multiplicity-expanded) ``knots`` vector and ``degree``
+    # bspline: B-spline ``ctrl`` (N,3) control points with the FULL
+    # (multiplicity-expanded) ``knots`` vector and ``degree``; rational
+    # (NURBS) curves additionally carry per-control-point ``weights`` (N,)
+    # and evaluate through homogeneous de Boor;
+    # rational_deriv: the derivative of a rational curve (not itself a
+    # B-spline) — ``ctrl`` holds the BASE curve's homogeneous (N,4)
+    # control net and evaluation applies the quotient rule
     point: Optional[np.ndarray] = None
     direction: Optional[np.ndarray] = None
     frame: Optional[Frame] = None
@@ -239,6 +244,7 @@ class BCurve:
     ctrl: Optional[np.ndarray] = None
     knots: Optional[np.ndarray] = None
     degree: int = 0
+    weights: Optional[np.ndarray] = None
 
 
 # ---------------------------------------------------------------------------
@@ -282,9 +288,29 @@ def bspline_eval_raw(ctrl, knots, p: int, ts) -> np.ndarray:
     return d[:, p]
 
 
+def _homogeneous_ctrl(ctrl, weights) -> np.ndarray:
+    """(N, dim) control points + (N,) weights -> (N, dim+1) (wP, w)."""
+    w = np.asarray(weights, dtype=float)[:, None]
+    return np.concatenate([np.asarray(ctrl, dtype=float) * w, w], axis=1)
+
+
 def bspline_eval(curve: "BCurve", ts) -> np.ndarray:
-    """Points of a non-rational B-spline at parameters ``ts`` -> (T, dim),
-    by de Boor's algorithm vectorized over the parameter batch."""
+    """Points of a B-spline at parameters ``ts`` -> (T, dim) by de Boor's
+    algorithm vectorized over the parameter batch. Rational (NURBS) curves
+    evaluate in homogeneous coordinates and divide by the weight channel
+    (OCC Geom_BSplineCurve semantics); ``rational_deriv`` curves apply the
+    quotient rule C' = (A' - C w') / w to the base homogeneous net."""
+    if curve.kind == "rational_deriv":
+        hom = curve.ctrl  # (N, dim+1) homogeneous net of the BASE curve
+        a = bspline_eval_raw(hom, curve.knots, curve.degree, ts)
+        qh, kh, ph = _hodograph_raw(hom, curve.knots, curve.degree)
+        ad = bspline_eval_raw(qh, kh, ph, ts)
+        w, wd = a[:, -1:], ad[:, -1:]
+        return (ad[:, :-1] - (a[:, :-1] / w) * wd) / w
+    if curve.weights is not None:
+        hom = bspline_eval_raw(_homogeneous_ctrl(curve.ctrl, curve.weights),
+                               curve.knots, curve.degree, ts)
+        return hom[:, :-1] / hom[:, -1:]
     return bspline_eval_raw(curve.ctrl, curve.knots, curve.degree, ts)
 
 
@@ -301,23 +327,34 @@ def _hodograph_raw(ctrl, knots, p: int):
 
 
 def bspline_hodograph(curve: "BCurve") -> "BCurve":
-    """The derivative curve: degree p-1 over the interior knots."""
+    """The derivative curve: degree p-1 over the interior knots for the
+    polynomial case; for rational curves, a ``rational_deriv`` curve that
+    bspline_eval resolves with the quotient rule (the derivative of a
+    NURBS is not itself a B-spline)."""
     if curve.degree < 1:
         raise UnsupportedStep("degree-0 B-spline edge")
+    if curve.weights is not None:
+        return BCurve("rational_deriv",
+                      ctrl=_homogeneous_ctrl(curve.ctrl, curve.weights),
+                      knots=np.asarray(curve.knots, dtype=float).copy(),
+                      degree=curve.degree)
     q, knots, p = _hodograph_raw(curve.ctrl, curve.knots, curve.degree)
     return BCurve("bspline", ctrl=q, knots=knots, degree=p)
 
 
 @dataclass(eq=False)
 class BPatch:
-    """A general (doubly-curved) non-rational tensor-product B-spline
-    surface patch: grid (nu, nv, 3) with full knot vectors."""
+    """A general (doubly-curved) tensor-product B-spline surface patch:
+    grid (nu, nv, 3) with full knot vectors; rational (NURBS) patches
+    additionally carry a (nu, nv) ``weights`` grid and evaluate through
+    homogeneous de Boor."""
 
     grid: np.ndarray
     udeg: int
     vdeg: int
     uknots: np.ndarray
     vknots: np.ndarray
+    weights: Optional[np.ndarray] = None
 
     def domain(self) -> Tuple[Tuple[float, float], Tuple[float, float]]:
         return ((float(self.uknots[self.udeg]),
@@ -325,24 +362,73 @@ class BPatch:
                 (float(self.vknots[self.vdeg]),
                  float(self.vknots[len(self.vknots) - self.vdeg - 1])))
 
+    def hom_grid(self) -> np.ndarray:
+        """(nu, nv, 4) homogeneous control grid (wP, w)."""
+        w = self.weights[..., None]
+        return np.concatenate([self.grid * w, w], axis=2)
 
-def patch_eval(patch: BPatch, uvs) -> np.ndarray:
-    """S(u, v) at (T, 2) parameter pairs -> (T, 3): collapse v by treating
-    the grid as one v-curve in R^(nu*3), then de Boor each row in u."""
+
+@dataclass(eq=False)
+class _RationalPartial:
+    """dS/du or dS/dv of a rational patch (not itself a B-spline patch);
+    patch_eval resolves it with the quotient rule against the base."""
+
+    base: BPatch
+    axis: str  # 'u' | 'v'
+
+
+def _patch_eval_raw(grid, udeg, vdeg, uknots, vknots, uvs) -> np.ndarray:
+    """Tensor-product de Boor on a raw (nu, nv, dim) grid: collapse v by
+    treating the grid as one v-curve in R^(nu*dim), then de Boor each row
+    in u."""
     uvs = np.atleast_2d(np.asarray(uvs, dtype=float))
-    nu, nv, _ = patch.grid.shape
-    cv = patch.grid.transpose(1, 0, 2).reshape(nv, nu * 3)
-    rows = bspline_eval_raw(cv, patch.vknots, patch.vdeg, uvs[:, 1])
-    out = np.empty((len(uvs), 3))
+    nu, nv, dim = grid.shape
+    cv = grid.transpose(1, 0, 2).reshape(nv, nu * dim)
+    rows = bspline_eval_raw(cv, vknots, vdeg, uvs[:, 1])
+    out = np.empty((len(uvs), dim))
     for t in range(len(uvs)):
-        out[t] = bspline_eval_raw(rows[t].reshape(nu, 3),
-                                  patch.uknots, patch.udeg,
-                                  [uvs[t, 0]])[0]
+        out[t] = bspline_eval_raw(rows[t].reshape(nu, dim),
+                                  uknots, udeg, [uvs[t, 0]])[0]
     return out
 
 
-def patch_partials(patch: BPatch) -> Tuple[BPatch, BPatch]:
-    """(dS/du, dS/dv) as derivative patches."""
+def _patch_hom_partial(patch: BPatch, axis: str, uvs) -> np.ndarray:
+    """d/du or d/dv of the HOMOGENEOUS patch at uvs -> (T, 4)."""
+    hom = patch.hom_grid()
+    if axis == "u":
+        gu, uk, up = _hodograph_raw(hom, patch.uknots, patch.udeg)
+        return _patch_eval_raw(gu, up, patch.vdeg, uk, patch.vknots, uvs)
+    gv, vk, vp = _hodograph_raw(hom.transpose(1, 0, 2),
+                                patch.vknots, patch.vdeg)
+    return _patch_eval_raw(gv.transpose(1, 0, 2), patch.udeg, vp,
+                           patch.uknots, vk, uvs)
+
+
+def patch_eval(patch, uvs) -> np.ndarray:
+    """S(u, v) at (T, 2) parameter pairs -> (T, 3). Accepts a BPatch
+    (polynomial or rational) or a _RationalPartial returned by
+    patch_partials for a rational patch."""
+    if isinstance(patch, _RationalPartial):
+        base = patch.base
+        a = _patch_eval_raw(base.hom_grid(), base.udeg, base.vdeg,
+                            base.uknots, base.vknots, uvs)
+        ad = _patch_hom_partial(base, patch.axis, uvs)
+        w, wd = a[:, -1:], ad[:, -1:]
+        return (ad[:, :-1] - (a[:, :-1] / w) * wd) / w
+    if patch.weights is not None:
+        hom = _patch_eval_raw(patch.hom_grid(), patch.udeg, patch.vdeg,
+                              patch.uknots, patch.vknots, uvs)
+        return hom[:, :-1] / hom[:, -1:]
+    return _patch_eval_raw(patch.grid, patch.udeg, patch.vdeg,
+                           patch.uknots, patch.vknots, uvs)
+
+
+def patch_partials(patch: BPatch):
+    """(dS/du, dS/dv): derivative BPatches for the polynomial case, or
+    quotient-rule _RationalPartial handles for rational patches — either
+    way, objects patch_eval evaluates."""
+    if patch.weights is not None:
+        return _RationalPartial(patch, "u"), _RationalPartial(patch, "v")
     gu, uk, up = _hodograph_raw(patch.grid, patch.uknots, patch.udeg)
     su = BPatch(gu, up, patch.vdeg, uk, patch.vknots)
     gv, vk, vp = _hodograph_raw(patch.grid.transpose(1, 0, 2),
@@ -353,18 +439,18 @@ def patch_partials(patch: BPatch) -> Tuple[BPatch, BPatch]:
 
 def patch_boundary_curve(patch: BPatch, side: str) -> "BCurve":
     """The iso-parameter boundary curve: side in u0/u1 (v-curves at the u
-    ends) or v0/v1 (u-curves at the v ends)."""
-    if side == "u0":
-        return BCurve("bspline", ctrl=patch.grid[0].copy(),
-                      knots=patch.vknots.copy(), degree=patch.vdeg)
-    if side == "u1":
-        return BCurve("bspline", ctrl=patch.grid[-1].copy(),
-                      knots=patch.vknots.copy(), degree=patch.vdeg)
-    if side == "v0":
-        return BCurve("bspline", ctrl=patch.grid[:, 0].copy(),
-                      knots=patch.uknots.copy(), degree=patch.udeg)
-    return BCurve("bspline", ctrl=patch.grid[:, -1].copy(),
-                  knots=patch.uknots.copy(), degree=patch.udeg)
+    ends) or v0/v1 (u-curves at the v ends). Rational patches hand their
+    boundary weights to the curve."""
+    if side in ("u0", "u1"):
+        i = 0 if side == "u0" else -1
+        w = None if patch.weights is None else patch.weights[i].copy()
+        return BCurve("bspline", ctrl=patch.grid[i].copy(),
+                      knots=patch.vknots.copy(), degree=patch.vdeg,
+                      weights=w)
+    i = 0 if side == "v0" else -1
+    w = None if patch.weights is None else patch.weights[:, i].copy()
+    return BCurve("bspline", ctrl=patch.grid[:, i].copy(),
+                  knots=patch.uknots.copy(), degree=patch.udeg, weights=w)
 
 
 def bspline_reversed(curve: "BCurve") -> "BCurve":
@@ -372,8 +458,64 @@ def bspline_reversed(curve: "BCurve") -> "BCurve":
     vector mirrors over its own span so the domain is preserved."""
     knots = np.asarray(curve.knots, dtype=float)
     lo, hi = float(knots[0]), float(knots[-1])
+    w = None if curve.weights is None else np.asarray(curve.weights)[::-1].copy()
     return BCurve("bspline", ctrl=np.asarray(curve.ctrl)[::-1].copy(),
-                  knots=(lo + hi) - knots[::-1], degree=curve.degree)
+                  knots=(lo + hi) - knots[::-1], degree=curve.degree,
+                  weights=w)
+
+
+def _recognize_circle(curve: "BCurve", tol: float = 1e-7) -> Optional["BCurve"]:
+    """Exact-circle recognition for rational B-spline curves. Real CAD
+    exporters encode circles and fillet arcs as rational quadratic NURBS
+    (the representation the reference receives back as Geom_Circle through
+    OCC's shape analysis); detecting them geometrically and returning the
+    analytic circle routes the edge through the SAME downstream silhouette
+    and discretization machinery as native CIRCLE entities. Returns None
+    when the sampled curve is not circular to within ``tol`` relative
+    error (rational circles are exact, so the fit residual is pure
+    floating-point noise; no polynomial B-spline is ever exactly
+    circular, which keeps recognition conservative)."""
+    lo, hi = bspline_domain(curve)
+    ts = np.linspace(lo, hi, 65)
+    pts = bspline_eval(curve, ts)
+    centroid = pts.mean(axis=0)
+    q = pts - centroid
+    scale = max(float(np.max(np.abs(q))), 1e-12)
+    # plane through the samples (total least squares)
+    _, sv, vt = np.linalg.svd(q, full_matrices=False)
+    if float(sv[2]) > tol * scale * len(pts) ** 0.5:
+        return None
+    xh, yh = vt[0], vt[1]
+    normal = np.cross(xh, yh)  # right-handed with the in-plane basis
+    u, v = q @ xh, q @ yh
+    # |p - c|^2 = r^2  ->  2*u*cx + 2*v*cy + k = u^2 + v^2 (linear lsq)
+    a = np.stack([2 * u, 2 * v, np.ones_like(u)], axis=1)
+    rhs = u * u + v * v
+    (cx, cy, k), *_ = np.linalg.lstsq(a, rhs, rcond=None)
+    r2 = k + cx * cx + cy * cy
+    if r2 <= (tol * scale) ** 2:
+        return None
+    r = float(np.sqrt(r2))
+    dist = np.sqrt((u - cx) ** 2 + (v - cy) ** 2)
+    if float(np.max(np.abs(dist - r))) > tol * r:
+        return None
+    center = centroid + cx * xh + cy * yh
+    # traversal orientation: angles must progress monotonically CCW
+    # around the returned frame's z (flip the normal when the samples
+    # run clockwise)
+    ang = np.unwrap(np.arctan2(v - cy, u - cx))
+    d_ang = np.diff(ang)
+    if np.all(d_ang > 0):
+        z = normal
+    elif np.all(d_ang < 0):
+        z = -normal
+    else:
+        return None
+    start = pts[0] - center
+    nrm = float(np.linalg.norm(start))
+    if nrm < tol * r:
+        return None
+    return BCurve("circle", frame=Frame(center, z, start / nrm), radius=r)
 
 
 @dataclass(eq=False)
@@ -519,14 +661,38 @@ class _Resolver:
                 raise UnsupportedStep("inconsistent B-spline knot vector")
             out = BCurve("bspline", ctrl=ctrl, knots=full, degree=int(degree))
         elif ent.name == "&":
+            # complex instance: the Part 21 encoding of rational (NURBS)
+            # curves — B_SPLINE_CURVE carries degree+control points,
+            # B_SPLINE_CURVE_WITH_KNOTS the knots, RATIONAL_B_SPLINE_CURVE
+            # the weights. Real ABC exports encode circles/fillets this
+            # way (reference reads them via OCC, read_step_file.py:9).
+            parts = {p.name: p for p in ent.args}
             names = [p.name for p in ent.args]
-            if "RATIONAL_B_SPLINE_CURVE" in names:
+            if not {"B_SPLINE_CURVE", "B_SPLINE_CURVE_WITH_KNOTS",
+                    "RATIONAL_B_SPLINE_CURVE"} <= set(parts):
                 raise UnsupportedStep(
-                    "rational B-spline edge curves are outside the native "
-                    "subset; use the OCC backend")
-            raise UnsupportedStep(
-                f"complex edge curve ({'+'.join(names)}) is outside the "
-                "native subset; use the OCC backend")
+                    f"complex edge curve ({'+'.join(names)}) is outside "
+                    "the native subset; use the OCC backend")
+            degree = int(parts["B_SPLINE_CURVE"].args[0])
+            ctrl = np.stack([self.point(r)
+                             for r in parts["B_SPLINE_CURVE"].args[1]])
+            mults, knots = parts["B_SPLINE_CURVE_WITH_KNOTS"].args[:2]
+            full = expand_knots(knots, mults)
+            if len(full) != len(ctrl) + degree + 1:
+                raise UnsupportedStep("inconsistent B-spline knot vector")
+            wts = np.asarray(parts["RATIONAL_B_SPLINE_CURVE"].args[0],
+                             dtype=float)
+            if len(wts) != len(ctrl) or np.any(wts <= 0):
+                raise UnsupportedStep("malformed rational B-spline weights")
+            if float(np.max(wts) - np.min(wts)) < 1e-12:
+                # uniform weights divide out: plain polynomial B-spline
+                out = BCurve("bspline", ctrl=ctrl, knots=full, degree=degree)
+            else:
+                out = BCurve("bspline", ctrl=ctrl, knots=full,
+                             degree=degree, weights=wts)
+                circ = _recognize_circle(out)
+                if circ is not None:
+                    out = circ
         else:
             raise UnsupportedStep(
                 f"edge curve {ent.name} is outside the native subset "
@@ -598,60 +764,123 @@ class _Resolver:
             pairs = [(e, 1 - o) for e, o in pairs[::-1]]
         return pairs
 
-    def _extrusion_face(self, surf) -> Tuple[int, Frame, BCurve, np.ndarray]:
+    def _bspline_grid_face(self, u_deg: int, v_deg: int, grid: np.ndarray,
+                           u_knots, u_mults, v_knots, v_mults,
+                           weights: Optional[np.ndarray]):
+        """Shared resolution of a (possibly rational) B-spline surface
+        control grid -> (kind, frame, profile_or_patch, extrude, radius).
+        An extrusion grid (one direction linear with a constant delta and
+        constant weights along it) resolves to its swept profile; a
+        rational profile that recognizes as a circle swept along its own
+        axis resolves all the way to an analytic CYLINDER (the encoding
+        real exporters emit for cylindrical blends); anything else is a
+        general patch for the numeric silhouette splitter."""
+        u_deg, v_deg = int(u_deg), int(v_deg)
+        full_u = expand_knots(u_knots, u_mults)
+        full_v = expand_knots(v_knots, v_mults)
+        if (len(full_u) != grid.shape[0] + u_deg + 1
+                or len(full_v) != grid.shape[1] + v_deg + 1):
+            raise UnsupportedStep("inconsistent B-spline surface knots")
+        for axis in (1, 0):  # profile along u (v linear), then flipped
+            g = grid if axis == 1 else np.swapaxes(grid, 0, 1)
+            wg = None if weights is None else \
+                (weights if axis == 1 else weights.T)
+            deg = u_deg if axis == 1 else v_deg
+            lin_deg = v_deg if axis == 1 else u_deg
+            if lin_deg != 1 or g.shape[1] != 2:
+                continue
+            deltas = g[:, 1] - g[:, 0]
+            if float(np.max(np.abs(deltas - deltas[0]))) > 1e-7:
+                continue
+            if wg is not None and float(np.max(np.abs(wg[:, 1] - wg[:, 0]))) > 1e-12:
+                continue
+            full = full_u if axis == 1 else full_v
+            profile = BCurve("bspline", ctrl=g[:, 0].copy(), knots=full,
+                             degree=deg,
+                             weights=None if wg is None else wg[:, 0].copy())
+            delta = deltas[0].copy()
+            if profile.weights is not None:
+                circ = _recognize_circle(profile)
+                if circ is not None:
+                    if float(np.linalg.norm(np.cross(
+                            _unit(delta), circ.frame.z))) > 1e-7:
+                        raise UnsupportedStep(
+                            "oblique sweep of a rational circle (an "
+                            "elliptic cylinder) is outside the native "
+                            "subset; use the OCC backend")
+                    return CYLINDER, circ.frame, None, None, circ.radius
+            return BSPLINE, _extrusion_frame(g[0, 0], delta), \
+                profile, delta, 0.0
+        # general doubly-curved patch: resolved with the full grid
+        patch = BPatch(grid, u_deg, v_deg, full_u, full_v, weights=weights)
+        n = np.cross(grid[-1, 0] - grid[0, 0], grid[0, -1] - grid[0, 0])
+        if float(np.linalg.norm(n)) < 1e-9:  # frame is decorative
+            n = np.array([0.0, 0.0, 1.0])
+        return BSPLINE, _extrusion_frame(grid[0, 0], n), patch, None, 0.0
+
+    def _extrusion_face(self, surf):
         """Resolve a linear-extrusion freeform surface: (kind, frame,
-        profile, extrude). The frame is synthesized (origin = first control
-        point, z = extrusion direction) — downstream only profile/extrude
-        carry geometry; the reference reads these surfaces through OCC
-        adaptors (TopoMapper.py:38-43 outlines on any surface type)."""
+        profile_or_patch, extrude, radius). The frame is synthesized
+        (origin = first control point, z = extrusion direction) —
+        downstream only profile/extrude carry geometry; the reference
+        reads these surfaces through OCC adaptors (TopoMapper.py:38-43
+        outlines on any surface type)."""
         if surf.name == "B_SPLINE_SURFACE_WITH_KNOTS":
             (_, u_deg, v_deg, grid_refs, _form, _ucl, _vcl, _selfint,
              u_mults, v_mults, u_knots, v_knots, _spec) = surf.args
             grid = np.stack([np.stack([self.point(r) for r in row])
                              for row in grid_refs])  # (nu, nv, 3)
-            for axis in (1, 0):  # profile along u (v linear), then flipped
-                g = grid if axis == 1 else np.swapaxes(grid, 0, 1)
-                deg = int(u_deg) if axis == 1 else int(v_deg)
-                lin_deg = int(v_deg) if axis == 1 else int(u_deg)
-                if lin_deg != 1 or g.shape[1] != 2:
-                    continue
-                deltas = g[:, 1] - g[:, 0]
-                if float(np.max(np.abs(deltas - deltas[0]))) > 1e-7:
-                    continue
-                knots = u_knots if axis == 1 else v_knots
-                mults = u_mults if axis == 1 else v_mults
-                full = expand_knots(knots, mults)
-                if len(full) != g.shape[0] + deg + 1:
-                    raise UnsupportedStep("inconsistent B-spline surface knots")
-                profile = BCurve("bspline", ctrl=g[:, 0].copy(),
-                                 knots=full, degree=deg)
-                return BSPLINE, _extrusion_frame(g[0, 0], deltas[0]), \
-                    profile, deltas[0].copy()
-            # general doubly-curved patch: resolved with the full grid
-            full_u = expand_knots(u_knots, u_mults)
-            full_v = expand_knots(v_knots, v_mults)
-            if (len(full_u) != grid.shape[0] + int(u_deg) + 1
-                    or len(full_v) != grid.shape[1] + int(v_deg) + 1):
-                raise UnsupportedStep("inconsistent B-spline surface knots")
-            patch = BPatch(grid, int(u_deg), int(v_deg), full_u, full_v)
-            n = np.cross(grid[-1, 0] - grid[0, 0], grid[0, -1] - grid[0, 0])
-            if float(np.linalg.norm(n)) < 1e-9:  # frame is decorative
-                n = np.array([0.0, 0.0, 1.0])
-            return BSPLINE, _extrusion_frame(grid[0, 0], n), patch, None
+            return self._bspline_grid_face(u_deg, v_deg, grid, u_knots,
+                                           u_mults, v_knots, v_mults, None)
         # SURFACE_OF_LINEAR_EXTRUSION('', swept_curve, extrusion VECTOR)
         _, curve_ref, vec_ref = surf.args
         profile = self.curve(curve_ref)
-        if profile.kind != "bspline":
-            raise UnsupportedStep(
-                f"SURFACE_OF_LINEAR_EXTRUSION over a {profile.kind} profile "
-                "is outside the native subset (line/circle sweeps arrive as "
-                "PLANE/CYLINDRICAL_SURFACE); use the OCC backend")
         v = self.get(vec_ref)
         if v.name != "VECTOR":
             raise UnsupportedStep(f"extrusion axis is {v.name}")
         delta = self.direction(v.args[1]) * float(v.args[2])
+        if profile.kind == "circle":
+            # a rational-NURBS circle profile recognized upstream: the
+            # sweep is an analytic cylinder when the axis matches
+            if float(np.linalg.norm(np.cross(
+                    _unit(delta), profile.frame.z))) > 1e-7:
+                raise UnsupportedStep(
+                    "oblique sweep of a circle profile (an elliptic "
+                    "cylinder) is outside the native subset; use the "
+                    "OCC backend")
+            return CYLINDER, profile.frame, None, None, profile.radius
+        if profile.kind != "bspline":
+            raise UnsupportedStep(
+                f"SURFACE_OF_LINEAR_EXTRUSION over a {profile.kind} profile "
+                "is outside the native subset (line sweeps arrive as "
+                "PLANE); use the OCC backend")
         return EXTRUSION, _extrusion_frame(profile.ctrl[0], delta), \
-            profile, delta
+            profile, delta, 0.0
+
+    def _rational_surface_face(self, surf):
+        """Resolve a complex-instance rational B-spline surface
+        (B_SPLINE_SURFACE + B_SPLINE_SURFACE_WITH_KNOTS +
+        RATIONAL_B_SPLINE_SURFACE parts) -> the same 5-tuple as
+        _bspline_grid_face. Uniform weights divide out to the polynomial
+        path; cylinders are recognized; general rational patches march
+        through the numeric silhouette splitter unchanged (patch_eval and
+        patch_partials are weight-aware)."""
+        parts = {p.name: p for p in surf.args}
+        bs = parts["B_SPLINE_SURFACE"].args
+        u_deg, v_deg, grid_refs = int(bs[0]), int(bs[1]), bs[2]
+        u_mults, v_mults, u_knots, v_knots = \
+            parts["B_SPLINE_SURFACE_WITH_KNOTS"].args[:4]
+        grid = np.stack([np.stack([self.point(r) for r in row])
+                         for row in grid_refs])  # (nu, nv, 3)
+        wts = np.asarray(parts["RATIONAL_B_SPLINE_SURFACE"].args[0],
+                         dtype=float)
+        if wts.shape != grid.shape[:2] or np.any(wts <= 0):
+            raise UnsupportedStep("malformed rational B-spline surface "
+                                  "weights")
+        if float(np.max(wts) - np.min(wts)) < 1e-12:
+            wts = None  # uniform weights divide out
+        return self._bspline_grid_face(u_deg, v_deg, grid, u_knots,
+                                       u_mults, v_knots, v_mults, wts)
 
     def _revolution_face(self, surf) -> Tuple[int, Frame, BCurve]:
         """Resolve a SURFACE_OF_REVOLUTION over a B-spline meridian profile:
@@ -718,21 +947,29 @@ class _Resolver:
                     "subset; use the OCC backend")
         elif surf.name in ("B_SPLINE_SURFACE_WITH_KNOTS",
                            "SURFACE_OF_LINEAR_EXTRUSION"):
-            kind, frame, prof_or_patch, extrude = self._extrusion_face(surf)
+            kind, frame, prof_or_patch, extrude, radius = \
+                self._extrusion_face(surf)
             if isinstance(prof_or_patch, BPatch):
                 patch = prof_or_patch
             else:
                 profile = prof_or_patch
-            radius = 0.0
         elif surf.name == "SURFACE_OF_REVOLUTION":
             kind, frame, profile = self._revolution_face(surf)
             radius = 0.0
         elif surf.name == "&":
             names = [p.name for p in surf.args]
-            raise UnsupportedStep(
-                f"complex surface instance ({'+'.join(names)}) is outside "
-                "the native subset (rational B-spline surfaces need the "
-                "OCC backend)")
+            if {"B_SPLINE_SURFACE", "B_SPLINE_SURFACE_WITH_KNOTS",
+                    "RATIONAL_B_SPLINE_SURFACE"} <= set(names):
+                kind, frame, prof_or_patch, extrude, radius = \
+                    self._rational_surface_face(surf)
+                if isinstance(prof_or_patch, BPatch):
+                    patch = prof_or_patch
+                else:
+                    profile = prof_or_patch
+            else:
+                raise UnsupportedStep(
+                    f"complex surface instance ({'+'.join(names)}) is "
+                    "outside the native subset; use the OCC backend")
         else:
             raise UnsupportedStep(
                 f"surface {surf.name} is outside the native subset "
@@ -877,6 +1114,70 @@ class StepBuilder:
                 f"EDGE_CURVE('',{self.vertex(ctrl[0])},"
                 f"{self.vertex(ctrl[-1])},{curve},.T.)")
         return self._edges[key]
+
+    def rational_curve(self, ctrl, weights, degree: int, knots, mults) -> str:
+        """Shared rational (NURBS) curve as the Part 21 complex instance
+        real CAD exporters emit for circles and fillet arcs:
+        B_SPLINE_CURVE + B_SPLINE_CURVE_WITH_KNOTS +
+        RATIONAL_B_SPLINE_CURVE parts."""
+        ctrl = np.asarray(ctrl, dtype=float)
+        weights = np.asarray(weights, dtype=float)
+        key = ("RC",) + tuple(round(float(c), 9) for c in ctrl.ravel()) \
+            + tuple(round(float(w), 9) for w in weights)
+        if key not in self._edges:
+            pts = ",".join(self.point(p) for p in ctrl)
+            kstr = ",".join(self._fmt(k) for k in knots)
+            mstr = ",".join(str(int(m)) for m in mults)
+            wstr = ",".join(self._fmt(w) for w in weights)
+            self._edges[key] = self.emit(
+                "( BOUNDED_CURVE() "
+                f"B_SPLINE_CURVE({int(degree)},({pts}),.UNSPECIFIED.,"
+                ".F.,.F.) "
+                f"B_SPLINE_CURVE_WITH_KNOTS(({mstr}),({kstr}),"
+                ".UNSPECIFIED.) CURVE() GEOMETRIC_REPRESENTATION_ITEM() "
+                f"RATIONAL_B_SPLINE_CURVE(({wstr})) "
+                "REPRESENTATION_ITEM('') )")
+        return self._edges[key]
+
+    def rational_edge(self, ctrl, weights, degree: int, knots, mults,
+                      tag: str = "") -> str:
+        """Shared edge over a clamped rational curve (vertices at the end
+        control points; ``tag`` disambiguates equal-endpoint curves such
+        as a full NURBS circle at two heights)."""
+        ctrl = np.asarray(ctrl, dtype=float)
+        key = ("RE", tag) + tuple(round(float(c), 9) for c in ctrl.ravel())
+        if key not in self._edges:
+            curve = self.rational_curve(ctrl, weights, degree, knots, mults)
+            self._edges[key] = self.emit(
+                f"EDGE_CURVE('',{self.vertex(ctrl[0])},"
+                f"{self.vertex(ctrl[-1])},{curve},.T.)")
+        return self._edges[key]
+
+    def rational_surface(self, grid, weights, udeg: int, vdeg: int,
+                         uknots, umults, vknots, vmults) -> str:
+        """Rational B-spline surface as the complex instance
+        (B_SPLINE_SURFACE + B_SPLINE_SURFACE_WITH_KNOTS +
+        RATIONAL_B_SPLINE_SURFACE) from a (nu, nv, 3) grid and a (nu, nv)
+        weight grid."""
+        grid = np.asarray(grid, dtype=float)
+        weights = np.asarray(weights, dtype=float)
+        rows = ",".join(
+            "(" + ",".join(self.point(p) for p in row) + ")" for row in grid)
+        wrows = ",".join(
+            "(" + ",".join(self._fmt(w) for w in row) + ")"
+            for row in weights)
+        uk = ",".join(self._fmt(k) for k in uknots)
+        vk = ",".join(self._fmt(k) for k in vknots)
+        um = ",".join(str(int(m)) for m in umults)
+        vm = ",".join(str(int(m)) for m in vmults)
+        return self.emit(
+            "( BOUNDED_SURFACE() "
+            f"B_SPLINE_SURFACE({int(udeg)},{int(vdeg)},({rows}),"
+            ".UNSPECIFIED.,.F.,.F.,.F.) "
+            f"B_SPLINE_SURFACE_WITH_KNOTS(({um}),({vm}),({uk}),({vk}),"
+            ".UNSPECIFIED.) GEOMETRIC_REPRESENTATION_ITEM() "
+            f"RATIONAL_B_SPLINE_SURFACE(({wrows})) "
+            "REPRESENTATION_ITEM('') SURFACE() )")
 
     def bspline_patch(self, grid, udeg: int, vdeg: int,
                       uknots, umults, vknots, vmults) -> str:
@@ -1053,6 +1354,58 @@ def brep_cylinder(radius: float, height: float, name: str = "cylinder") -> str:
     return b.text(f"{name}.step")
 
 
+def nurbs_circle_net(center, radius: float,
+                     x=np.array([1.0, 0.0, 0.0]),
+                     y=np.array([0.0, 1.0, 0.0])):
+    """The standard full-circle rational quadratic NURBS: 9 control
+    points over 4 quarter-arc Bezier spans (weights 1, sqrt(2)/2
+    alternating) — the exact net CAD exporters write for circles.
+    Returns (ctrl (9,3), weights (9,), knots, mults); traversal is CCW
+    around x cross y starting at center + radius*x."""
+    c = np.asarray(center, dtype=float)
+    x = np.asarray(x, dtype=float) * radius
+    y = np.asarray(y, dtype=float) * radius
+    ctrl = np.stack([c + x, c + x + y, c + y, c - x + y, c - x,
+                     c - x - y, c - y, c + x - y, c + x])
+    w = np.sqrt(2.0) / 2.0
+    weights = np.array([1.0, w, 1.0, w, 1.0, w, 1.0, w, 1.0])
+    knots = (0.0, 0.25, 0.5, 0.75, 1.0)
+    mults = (3, 2, 2, 2, 3)
+    return ctrl, weights, knots, mults
+
+
+def brep_nurbs_cylinder(radius: float, height: float,
+                        name: str = "nurbs_cylinder") -> str:
+    """The same solid as brep_cylinder — one cylindrical wall with a seam,
+    two disc caps — but with every piece of curved geometry encoded the
+    way real CAD exporters write it: cap circles as rational quadratic
+    NURBS curves and the wall as a rational B-spline surface (degree 2x1
+    complex instances with RATIONAL_B_SPLINE_* parts). Exercises the
+    native reader's homogeneous de Boor + circle/cylinder recognition:
+    the parsed JSON must match the analytic-cylinder path (reference
+    reads both encodings identically through OCC, read_step_file.py:9)."""
+    b = StepBuilder()
+    z0, z1 = -height / 2, height / 2
+    c0, c1 = np.array([0, 0, z0]), np.array([0, 0, z1])
+    ctrl0, wts, knots, mults = nurbs_circle_net(c0, radius)
+    ctrl1, _, _, _ = nurbs_circle_net(c1, radius)
+    circ0 = b.rational_edge(ctrl0, wts, 2, knots, mults)
+    circ1 = b.rational_edge(ctrl1, wts, 2, knots, mults)
+    seam = b.line_edge(ctrl0[0], ctrl1[0])
+    grid = np.stack([ctrl0, ctrl1], axis=1)          # (9, 2, 3)
+    wgrid = np.stack([wts, wts], axis=1)             # (9, 2)
+    wall_surf = b.rational_surface(grid, wgrid, 2, 1, knots, mults,
+                                   (0.0, 1.0), (2, 2))
+    wall = [(seam, True), (circ1, False), (seam, False), (circ0, True)]
+    faces = [
+        b.face([wall], wall_surf),
+        b.face([[(circ0, False)]], b.plane(c0, -_Z)),
+        b.face([[(circ1, True)]], b.plane(c1, _Z)),
+    ]
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
 def brep_dome(radius: float, cap_height: float, name: str = "dome") -> str:
     """A spherical cap sitting on a flat disc: sphere of ``radius`` cut by
     the plane z = radius - cap_height (0 < cap_height < 2*radius). Two
@@ -1218,7 +1571,8 @@ def brep_frustum(r_bottom: float, r_top: float, height: float,
 
 
 def brep_pillow(grid_z, half_x: float, half_y: float,
-                base_z: float = 0.0, name: str = "pillow") -> str:
+                base_z: float = 0.0, name: str = "pillow",
+                interior_weight: float = 0.0) -> str:
     """A box capped by a general doubly-curved B-spline patch roof: the
     (nu, nv) ``grid_z`` heights (all > base_z) sit on a uniform control
     grid over [-half_x, half_x] x [-half_y, half_y], so the patch's four
@@ -1226,7 +1580,12 @@ def brep_pillow(grid_z, half_x: float, half_y: float,
     is an ordinary planar face (straight bottom, vertical sides, B-spline
     top) and the solid is watertight. The roof is the one surface class
     the reference only reaches through OCC HLR on GeomAbs_BSplineSurface
-    faces (TopoMapper.py:38-83)."""
+    faces (TopoMapper.py:38-83). With ``interior_weight`` > 0, the roof
+    is written as a RATIONAL B-spline surface whose interior control
+    points carry that weight (boundary weights stay 1, so the boundary
+    iso-curves — and the walls they bound — are unchanged): the NURBS
+    encoding real exporters emit, driving the reader's homogeneous
+    evaluation and quotient-rule silhouette marching."""
     gz = np.asarray(grid_z, dtype=float)
     nu, nv = gz.shape
     if nu < 3 or nv < 3:
@@ -1268,11 +1627,18 @@ def brep_pillow(grid_z, half_x: float, half_y: float,
         "v1": b.line_edge(base[(0, 1)], base[(1, 1)]),
         "u0": b.line_edge(base[(0, 0)], base[(0, 1)]),
     }
+    if interior_weight > 0.0:
+        wgrid = np.ones((nu, nv))
+        wgrid[1:-1, 1:-1] = interior_weight
+        roof_surf = b.rational_surface(grid, wgrid, udeg, vdeg,
+                                       uk, um, vk, vm)
+    else:
+        roof_surf = b.bspline_patch(grid, udeg, vdeg, uk, um, vk, vm)
     faces = [
         # roof: CCW seen from above (+u along v0, +v along u1, ...)
         b.face([[(rim["v0"], True), (rim["u1"], True),
                  (rim["v1"], False), (rim["u0"], False)]],
-               b.bspline_patch(grid, udeg, vdeg, uk, um, vk, vm)),
+               roof_surf),
         # walls: bottom forward, far post up, rim back, near post down
         b.face([[(bot["v0"], True), (posts[(1, 0)], True),
                  (rim["v0"], False), (posts[(0, 0)], False)]],

@@ -183,7 +183,12 @@ class TestRejections:
                "ENDSEC;\nDATA;\n")
     _FOOTER = "\nENDSEC;\nEND-ISO-10303-21;\n"
 
-    def test_rational_complex_curve_raises(self):
+    def test_rational_complex_curve_resolves(self):
+        # Historically rejected; rational (NURBS) curves now evaluate
+        # through homogeneous de Boor (tests/test_rational.py carries the
+        # geometry contracts). This pins the complex-instance PARSE path:
+        # weight 0.7 at the middle control point pulls the curve toward it
+        # relative to the polynomial Bezier.
         txt = self._HEADER + "\n".join([
             "#1 = CARTESIAN_POINT('',(0.,0.,0.)) ;",
             "#2 = CARTESIAN_POINT('',(1.,0.,0.)) ;",
@@ -196,8 +201,29 @@ class TestRejections:
             "#7 = EDGE_CURVE('',#4,#5,#6,.T.) ;",
         ]) + self._FOOTER
         res = step21._Resolver(step21.parse_step_text(txt))
-        with pytest.raises(UnsupportedStep, match="rational"):
-            res.edge(7)
+        edge = res.edge(7)
+        assert edge.curve.kind == "bspline"
+        np.testing.assert_allclose(edge.curve.weights, [1.0, 0.7, 1.0])
+        mid = bspline_eval(edge.curve, [0.5])[0]
+        w = 0.7
+        want = (0.25 * np.array([0., 0, 0]) + 0.5 * w * np.array([1., 0, 0])
+                + 0.25 * np.array([1., 1, 0])) / (0.25 + 0.5 * w + 0.25)
+        np.testing.assert_allclose(mid, want, atol=1e-12)
+
+    def test_uniform_weights_divide_out(self):
+        txt = self._HEADER + "\n".join([
+            "#1 = CARTESIAN_POINT('',(0.,0.,0.)) ;",
+            "#2 = CARTESIAN_POINT('',(1.,0.,0.)) ;",
+            "#3 = CARTESIAN_POINT('',(1.,1.,0.)) ;",
+            "#4 = VERTEX_POINT('',#1) ;",
+            "#5 = VERTEX_POINT('',#3) ;",
+            "#6 = ( B_SPLINE_CURVE(2,(#1,#2,#3),.UNSPECIFIED.,.F.,.F.) "
+            "B_SPLINE_CURVE_WITH_KNOTS((3,3),(0.,1.),.UNSPECIFIED.) "
+            "RATIONAL_B_SPLINE_CURVE((2.,2.,2.)) CURVE() ) ;",
+            "#7 = EDGE_CURVE('',#4,#5,#6,.T.) ;",
+        ]) + self._FOOTER
+        res = step21._Resolver(step21.parse_step_text(txt))
+        assert res.edge(7).curve.weights is None  # plain polynomial path
 
     def test_trimmed_spline_edge_raises(self):
         txt = self._HEADER + "\n".join([
