@@ -1334,6 +1334,104 @@ def brep_extrusion(poly2d: np.ndarray, z0: float, z1: float,
     return b.text(f"{name}.step")
 
 
+def brep_plate_features(poly2d: np.ndarray, z0: float, z1: float,
+                        features: Sequence[Tuple[str, float, float, float,
+                                                 float]],
+                        name: str = "plate") -> str:
+    """A COMPOSITE solid: a prism over a CCW simple polygon carrying a mix
+    of machining features on one body — ("hole", cx, cy, r, _) circular
+    through-holes, ("boss", cx, cy, r, h) raised cylindrical bosses with
+    flat caps, ("dome_boss", cx, cy, r, h) bosses capped by spherical
+    domes, and ("pocket", cx, cy, r, d) blind circular pockets. Every
+    curved wall is ONE cylindrical face with a seam edge, bosses/pockets
+    put extra bounds on the shared top face, and dome caps share the boss
+    rim circle — the multi-feature topology of real ABC parts (the
+    reference's corpus is dominated by such composites; every
+    single-feature family here is a degenerate case of this one).
+    Reference path: dataset/prepare_data.py:268-327 over arbitrary ABC
+    B-Reps via OCC."""
+    b = StepBuilder()
+    poly2d = np.asarray(poly2d, dtype=float)
+    n = len(poly2d)
+    bot, top = _ring(poly2d, z0), _ring(poly2d, z1)
+    faces: List[str] = []
+
+    bot_edges = [b.line_edge(bot[i], bot[(i + 1) % n]) for i in range(n)]
+    top_edges = [b.line_edge(top[i], top[(i + 1) % n]) for i in range(n)]
+    up_edges = [b.line_edge(bot[i], top[i]) for i in range(n)]
+    for i in range(n):
+        j = (i + 1) % n
+        centroid = (bot[i] + bot[j] + top[j] + top[i]) / 4
+        normal = np.cross(_unit(bot[j] - bot[i]), _Z)
+        loop = [(bot_edges[i], True), (up_edges[j], True),
+                (top_edges[i], False), (up_edges[i], False)]
+        faces.append(b.face([loop], b.plane(centroid, normal)))
+
+    bot_loops = [[(bot_edges[i], False) for i in range(n - 1, -1, -1)]]
+    top_loops = [[(top_edges[i], True) for i in range(n)]]
+    x_axis = np.array([1.0, 0.0, 0.0])
+
+    def circ(cx, cy, z, r):
+        c = np.array([cx, cy, z])
+        return b.circle_edge(c, _Z, x_axis, r, c + np.array([r, 0, 0]),
+                             c + np.array([r, 0, 0]))
+
+    def wall(cx, cy, za, zb, r):
+        """One cylindrical face from za to zb with a seam; returns
+        (face, circle@za, circle@zb)."""
+        ca, cb = circ(cx, cy, za, r), circ(cx, cy, zb, r)
+        seam = b.line_edge(np.array([cx + r, cy, za]),
+                           np.array([cx + r, cy, zb]))
+        loop = [(seam, True), (cb, False), (seam, False), (ca, True)]
+        face = b.face([loop], b.cylinder(np.array([cx, cy, za]), _Z,
+                                         x_axis, r))
+        return face, ca, cb
+
+    for kind, cx, cy, r, param in features:
+        if kind == "hole":
+            face, c_bot, c_top = wall(cx, cy, z0, z1, r)
+            faces.append(face)
+            bot_loops.append([(c_bot, False)])
+            top_loops.append([(c_top, True)])
+        elif kind in ("boss", "dome_boss"):
+            if kind == "dome_boss" and param <= 1e-9:
+                # hemisphere sitting directly on the plate top
+                c_rim = circ(cx, cy, z1, r)
+                top_loops.append([(c_rim, False)])
+                faces.append(b.face([[(c_rim, True)]],
+                                    b.sphere(np.array([cx, cy, z1]), _Z,
+                                             x_axis, r)))
+                continue
+            z2 = z1 + param
+            face, c_base, c_rim = wall(cx, cy, z1, z2, r)
+            faces.append(face)
+            top_loops.append([(c_base, False)])
+            if kind == "boss":
+                faces.append(b.face([[(c_rim, True)]],
+                                    b.plane(np.array([cx, cy, z2]), _Z)))
+            else:
+                # hemisphere over the rim, like brep_dome_block's cap
+                faces.append(b.face([[(c_rim, True)]],
+                                    b.sphere(np.array([cx, cy, z2]), _Z,
+                                             x_axis, r)))
+        elif kind == "pocket":
+            zp = z1 - param
+            if not z0 + 1e-9 < zp < z1 - 1e-9:
+                raise ValueError("pocket depth must stay inside the plate")
+            face, c_floor, c_mouth = wall(cx, cy, zp, z1, r)
+            faces.append(face)
+            top_loops.append([(c_mouth, True)])
+            faces.append(b.face([[(c_floor, False)]],
+                                b.plane(np.array([cx, cy, zp]), _Z)))
+        else:
+            raise ValueError(f"unknown plate feature {kind!r}")
+
+    faces.append(b.face(bot_loops, b.plane(np.array([0, 0, z0]), -_Z)))
+    faces.append(b.face(top_loops, b.plane(np.array([0, 0, z1]), _Z)))
+    b.solid(faces, name=name)
+    return b.text(f"{name}.step")
+
+
 def brep_cylinder(radius: float, height: float, name: str = "cylinder") -> str:
     """A full cylinder: one cylindrical wall with a seam, two disc caps."""
     b = StepBuilder()

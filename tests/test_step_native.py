@@ -861,6 +861,71 @@ class TestPatch:
         assert emitted >= 4
 
 
+class TestComposite:
+    """Multi-feature composite plates (brep_plate_features): mixed
+    hole/boss/dome-boss/pocket features on one body — the topology class
+    real ABC parts live in (reference handles arbitrary ABC composites
+    through OCC, prepare_data.py:268-327)."""
+
+    POLY = np.array([[-1.0, -0.8], [1.0, -0.8], [1.0, 0.8], [-1.0, 0.8]])
+    FEATS = [("hole", -0.5, -0.3, 0.18, 0.0),
+             ("boss", 0.45, 0.3, 0.22, 0.5),
+             ("dome_boss", -0.45, 0.35, 0.2, 0.0),
+             ("pocket", 0.5, -0.35, 0.15, 0.25)]
+
+    def test_parse_roundtrip(self):
+        text = step21.brep_plate_features(self.POLY, -0.25, 0.25, self.FEATS)
+        solid = step21._Resolver(step21.parse_step_text(text)).solids()[0]
+        kinds = sorted(f.surface_kind for f in solid.faces)
+        # 4 rect walls + bottom + top + boss cap + pocket floor = 8 planes;
+        # hole/boss/pocket walls = 3 cylinders; dome = 1 sphere
+        assert kinds == [PLANE] * 8 + [CYLINDER] * 3 + [SPHERE]
+        # every undirected edge is used exactly twice in opposite senses
+        uses = {}
+        for f in solid.faces:
+            for loop in f.loops:
+                for e, o in loop:
+                    uses.setdefault(id(e), []).append(o)
+        assert all(sorted(v) == [0, 1] for v in uses.values())
+
+    def test_shared_feature_bounds_on_top_face(self):
+        text = step21.brep_plate_features(self.POLY, -0.25, 0.25, self.FEATS)
+        solid = step21._Resolver(step21.parse_step_text(text)).solids()[0]
+        tops = [f for f in solid.faces if f.surface_kind == PLANE
+                and len(f.loops) > 1]
+        # top face: outer polygon + hole + boss base + dome rim + pocket
+        # mouth = 5 bounds; bottom face: outer + hole = 2
+        assert sorted(len(f.loops) for f in tops) == [2, 5]
+
+    @pytest.mark.parametrize("loc,focus", [
+        ((1, 1, 1), 0.0), ((0.6, -0.9, 0.7), 3.0), ((-0.8, 0.5, 0.9), 3.0)])
+    def test_pipeline_valid_topology(self, loc, focus):
+        text = step21.brep_plate_features(self.POLY, -0.25, 0.25, self.FEATS)
+        topo, data = _pipeline_view(text, loc, focus=focus)
+        assert 2 * len(data["pairings"]) == len(data["edges"])
+        for face in data["faces_indices"]:
+            flat = [i for lp in face[1] for i in lp]
+            assert is_face_enclosed(data["edges"], flat, 2e-4)
+
+    def test_random_composites_never_emit_bad_topology(self):
+        rng = np.random.default_rng(17)
+        emitted = 0
+        for i in range(8):
+            text = gen_step.random_composite(rng, f"c{i}")
+            loc = tuple(rng.normal(size=3))
+            try:
+                topo, data = _pipeline_view(
+                    text, loc, focus=float(rng.choice([0.0, 3.0])))
+            except UnsupportedStep:
+                continue
+            emitted += 1
+            assert 2 * len(data["pairings"]) == len(data["edges"])
+            for face in data["faces_indices"]:
+                flat = [i for lp in face[1] for i in lp]
+                assert is_face_enclosed(data["edges"], flat, 2e-4)
+        assert emitted >= 6
+
+
 class TestStepCorpusEndToEnd:
     def test_corpus(self, tmp_path):
         root = str(tmp_path)

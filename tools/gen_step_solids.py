@@ -22,8 +22,15 @@ with traced silhouette branches), freeform spline prisms
 (B_SPLINE_SURFACE_WITH_KNOTS extrusion walls over closed Bezier-segment
 chains, split along their t-free ruling silhouettes), apex cones
 (one-station conical walls whose silhouette rulings share the apex
-vertex), and revolved vases (SURFACE_OF_REVOLUTION bands over B-spline
-meridian profiles, split along traced analytic-branch silhouettes).
+vertex), revolved vases (SURFACE_OF_REVOLUTION bands over B-spline
+meridian profiles, split along traced analytic-branch silhouettes),
+COMPOSITE plates (2-4 mixed hole/boss/dome-boss/pocket features on one
+body — the multi-feature topology of real ABC parts), pillows (general
+doubly-curved B-spline patch roofs split by numeric silhouette
+marching; ~30% written as RATIONAL surfaces with weighted interiors),
+and NURBS cylinders (cylinders encoded the way real exporters emit
+them: rational quadratic circle curves + a rational wall surface,
+exercising homogeneous de Boor and circle/cylinder recognition).
 """
 
 import argparse
@@ -67,13 +74,63 @@ def random_footprint(rng: np.random.Generator) -> np.ndarray:
                              float(rng.uniform(1.1, 1.6)), int(rng.integers(1, 4)))
 
 
+def random_composite(rng: np.random.Generator, name: str) -> str:
+    """A plate carrying 2-4 mixed features (holes/bosses/dome-bosses/
+    pockets) on one body — the multi-feature composites that dominate
+    real ABC parts (every single-feature family is a degenerate case)."""
+    thick = float(rng.uniform(0.4, 0.8))
+    for _ in range(16):
+        poly = random_footprint(rng)
+        clearance = origin_clearance(poly)
+        if clearance <= 0.35:
+            continue
+        n_feat = int(rng.integers(2, 5))
+        radii = [clearance * float(rng.uniform(0.12, 0.28))
+                 for _ in range(n_feat)]
+        centers = _place_children(rng, clearance, radii)
+        if centers is None:
+            continue
+        feats = []
+        for c, r in zip(centers, radii):
+            kind = str(rng.choice(["hole", "boss", "dome_boss", "pocket"]))
+            if kind == "boss":
+                param = float(rng.uniform(0.2, 0.7))
+            elif kind == "dome_boss":
+                param = float(rng.choice([0.0, rng.uniform(0.15, 0.5)]))
+            elif kind == "pocket":
+                param = thick * float(rng.uniform(0.3, 0.7))
+            else:
+                param = 0.0
+            feats.append((kind, float(c[0]), float(c[1]), r, param))
+        return step21.brep_plate_features(poly, -thick / 2, thick / 2,
+                                          feats, name=name)
+    # placement kept failing: fall back to a plain extrusion
+    return step21.brep_extrusion(random_footprint(rng), -thick / 2,
+                                 thick / 2, name=name)
+
+
 def random_step_solid(rng: np.random.Generator, name: str) -> str:
     kind = rng.choice(["extrusion", "holes", "cylinder", "frustum",
                        "dome", "dome_block", "torus", "round_top", "spline",
-                       "cone", "vase"],
-                      p=[0.19, 0.19, 0.09, 0.09, 0.08, 0.08,
-                         0.05, 0.05, 0.08, 0.04, 0.06])
+                       "cone", "vase", "composite", "pillow", "nurbs_cyl"],
+                      p=[0.13, 0.12, 0.07, 0.07, 0.06, 0.06,
+                         0.05, 0.05, 0.07, 0.04, 0.06, 0.14, 0.05, 0.03])
     h = float(rng.uniform(0.4, 1.2))
+    if kind == "composite":
+        return random_composite(rng, name)
+    if kind == "pillow":
+        gz = rng.uniform(0.4, 1.2, size=(int(rng.integers(3, 6)),
+                                         int(rng.integers(3, 6))))
+        weight = 0.0
+        if rng.uniform() < 0.3:  # rational roof (NURBS encoding)
+            weight = float(rng.choice([rng.uniform(0.35, 0.7),
+                                       rng.uniform(1.5, 3.0)]))
+        return step21.brep_pillow(gz, float(rng.uniform(0.6, 1.0)),
+                                  float(rng.uniform(0.6, 1.0)),
+                                  interior_weight=weight, name=name)
+    if kind == "nurbs_cyl":
+        return step21.brep_nurbs_cylinder(float(rng.uniform(0.5, 0.9)), h,
+                                          name=name)
     if kind == "cone":
         return step21.brep_cone(float(rng.uniform(0.5, 0.9)),
                                 float(rng.uniform(0.7, 1.3)), name=name)
