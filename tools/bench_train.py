@@ -46,6 +46,10 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--out", default=None)
+    parser.add_argument("--only", default=None,
+                        help="substring filter on variant keys (e.g. "
+                             "'drop0.2/fwd_bwd'): skips other variants' "
+                             "compiles, for the batch-size sweep")
     args = parser.parse_args(argv)
 
     import jax
@@ -109,6 +113,8 @@ def main(argv=None):
             loss = make_loss(mcfg, dropout=0.0 if dname == "drop0" else None)
             for vname, wrap in variants.items():
                 key = f"{mname}/{dname}/{vname}"
+                if args.only and args.only not in key:
+                    continue
                 try:
                     add(key, wrap(loss))
                 except Exception as e:  # OOM variants are expected
@@ -121,10 +127,11 @@ def main(argv=None):
                               jnp.bfloat16)
         return jnp.sum(memory.astype(jnp.float32) ** 2) * 1e-6
 
-    add("encoder_only/fwd_bwd", jax.jit(
-        lambda c, p, b, r: (
-            lambda vg: vg[0] + _probe(vg[1]))(jax.value_and_grad(enc_loss)(
-                jax.tree.map(lambda x: x + c, p), b, r))))
+    if not args.only or args.only in "encoder_only/fwd_bwd":
+        add("encoder_only/fwd_bwd", jax.jit(
+            lambda c, p, b, r: (
+                lambda vg: vg[0] + _probe(vg[1]))(jax.value_and_grad(enc_loss)(
+                    jax.tree.map(lambda x: x + c, p), b, r))))
 
     if results.get("remat_full/drop0.2/fwd_bwd") and isinstance(
             results["remat_full/drop0.2/fwd_bwd"], float):
