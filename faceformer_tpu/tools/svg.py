@@ -89,12 +89,78 @@ def save_svg(edges, path: str, **kwargs) -> None:
         f.write(render_svg(edges, **kwargs))
 
 
-def save_png(svg_path: str, png_path: str, width: int = 256, height: int = 256) -> bool:
-    """Rasterize an SVG; returns False when no rasterizer is available."""
+def rasterize_edges(edges: Sequence, width: int = 256, height: int = 256,
+                    padding: float = 0.2, line_px: int = 3):
+    """Dependency-free rasterization of polyline edges to a grayscale
+    uint8 image (white background, black ink), using render_svg's exact
+    viewBox mapping so native renders and cairosvg renders binarize the
+    same way in the 3-view filter (filter_3view.py thresholds at 254)."""
+    import numpy as np
+
+    img = np.full((height, width), 255, dtype=np.uint8)
+    if not edges:
+        return img
+    x0, y0, x1, y1 = _bounds(edges)
+    span = max(x1 - x0, y1 - y0, 1e-9)
+    pad = span * padding
+    vx, vy, vs = x0 - pad, y0 - pad, span + 2 * pad
+    half = max(line_px // 2, 0)
+    offs = [(dy, dx) for dy in range(-half, half + 1)
+            for dx in range(-half, half + 1)
+            if dx * dx + dy * dy <= half * half + half]
+    for edge in edges:
+        pts = np.asarray(edge, dtype=float)
+        px = (pts[:, 0] - vx) / vs * width
+        py = (pts[:, 1] - vy) / vs * height
+        for i in range(len(pts) - 1):
+            n = int(np.hypot(px[i + 1] - px[i], py[i + 1] - py[i])) * 2 + 2
+            ts = np.linspace(0.0, 1.0, n)
+            xs = np.clip((px[i] + ts * (px[i + 1] - px[i])).astype(int),
+                         0, width - 1)
+            ys = np.clip((py[i] + ts * (py[i + 1] - py[i])).astype(int),
+                         0, height - 1)
+            for dy, dx in offs:
+                img[np.clip(ys + dy, 0, height - 1),
+                    np.clip(xs + dx, 0, width - 1)] = 0
+    return img
+
+
+def write_png(img, path: str) -> None:
+    """Minimal 8-bit grayscale PNG writer (zlib only, no imaging deps)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw, 6))
+               + chunk(b"IEND", b""))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(payload)
+
+
+def save_png(svg_path: str, png_path: str, width: int = 256,
+             height: int = 256, edges: Optional[Sequence] = None) -> bool:
+    """Rasterize an SVG; falls back to the dependency-free polyline
+    rasterizer when cairosvg is unavailable and the caller supplied the
+    edges. Returns False only when neither path is possible."""
     try:
         from cairosvg import svg2png
     except ImportError:
-        return False
+        if edges is None:
+            return False
+        write_png(rasterize_edges(edges, width, height), png_path)
+        return True
     with open(svg_path) as f:
         svg2png(bytestring=f.read().encode(), write_to=png_path,
                 output_width=width, output_height=height)

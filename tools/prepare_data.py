@@ -293,11 +293,85 @@ def render_shape(name: str, args) -> None:
         print(f"{name} received unknown error", exc)
 
 
+THREE_VIEW_DIRECTIONS = [
+    (1.0, 1.0, 1.0),   # 45 degree
+    (0.0, -1.0, 0.0),  # front
+    (1.0, 0.0, 0.0),   # right
+    (0.0, 0.0, 1.0),   # top
+]
+
+
+def render_three_views_native(name: str, args) -> None:
+    """CAD-free 4-view HLR render for the 3-view filter: the native
+    topo mapper supplies the split curve set (sharp edges + silhouette
+    outlines, sewn seams removed — the same compounds OCC HLR hands the
+    reference, 3view_render.py:63-72) and the ray-cast occlusion tester
+    keeps only the VISIBLE sub-polylines, which is what HLR's V-compounds
+    are."""
+    from faceformer_tpu.tools import step21, step_native
+    from faceformer_tpu.tools.hlr_visibility import OcclusionTester, unproject
+    from faceformer_tpu.tools.svg import save_png
+
+    try:
+        path = os.path.join(args.root, "step", f"{name}.step")
+        for i, direction in enumerate(THREE_VIEW_DIRECTIONS):
+            # fresh parse per view: normalization/splitting work in place
+            try:
+                solid, num_shapes = step_native.load_solid(
+                    path, filter_num_shapes=args.filter_num_shapes)
+            except step_native.UnsupportedStep as exc:
+                print(f"{name} is outside the native STEP subset ({exc}); "
+                      "rerun with --backend occ")
+                return
+            if solid is None:
+                print(f"{name} rejected: {num_shapes} shapes")
+                return
+            step_native.normalize_solid(solid)
+            from faceformer_tpu.tools.occ_pipeline import ProjectionArgs
+            proj = occ_args = ProjectionArgs(
+                location=(0.0, 0.0, 0.0), direction=direction,
+                focus=0.0, tol=args.tol)
+            topo = step_native.NativeTopoMapper(solid, proj)
+            # unique split edges with their 2D + camera-3D polylines
+            records = []
+            seen = set()
+            for face in topo.all_faces.values():
+                for erec in face.edges:
+                    if erec.key in seen:
+                        continue
+                    seen.add(erec.key)
+                    records.append((np.asarray(erec.dedge, dtype=float),
+                                    np.asarray(erec.dedge3d, dtype=float)))
+            occ_solid, _ = step_native.load_solid(
+                path, filter_num_shapes=args.filter_num_shapes)
+            step_native.normalize_solid(occ_solid)
+            projector = step_native.NativeProjector(occ_args)
+            tester = OcclusionTester(occ_solid, projector, args.tol)
+            visible = []
+            for pts2d, pts3d in records:
+                world = unproject(projector, pts3d)
+                for run in tester.visible_runs(world):
+                    visible.append(pts2d[run].tolist())
+            svg_path = os.path.join(args.root, "3view_svg",
+                                    f"{name}-{i}.svg")
+            save_svg(visible, svg_path, width=args.width,
+                     height=args.height)
+            save_png(svg_path,
+                     os.path.join(args.root, "3view_png", f"{name}-{i}.png"),
+                     args.width, args.height, edges=visible)
+    except Exception as exc:
+        print(f"{name} 3view failed", exc)
+
+
 def render_three_views(name: str, args) -> None:
     """Render the 4 canonical HLR views for the 3-view filter
     (reference dataset/filters/3view_render.py:29-105)."""
     from faceformer_tpu.tools import occ_pipeline as occ
     from faceformer_tpu.tools.svg import save_png
+
+    if resolve_backend(args) == "native":
+        render_three_views_native(name, args)
+        return
 
     try:
         shape, _ = occ.read_step_file(os.path.join(args.root, "step", f"{name}.step"))
@@ -366,9 +440,6 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
-    if args.three_view and resolve_backend(args) == "native":
-        raise SystemExit("--three_view needs real HLR visibility "
-                         "classification; rerun with --backend occ")
     if resolve_backend(args) == "occ":
         from faceformer_tpu.tools.occ_pipeline import require_occ
 
