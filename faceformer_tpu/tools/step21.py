@@ -90,10 +90,17 @@ def _tokenize(text: str):
         yield kind, m.group()
 
 
+#: aggregate-nesting cap: real Part 21 exports nest a handful of levels;
+#: untrusted files can nest arbitrarily and would otherwise convert a
+#: hostile byte stream into an uncatchable RecursionError inside value()
+_MAX_DEPTH = 64
+
+
 class _Parser:
     def __init__(self, tokens):
         self.toks = list(tokens)
         self.i = 0
+        self.depth = 0
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -124,17 +131,25 @@ class _Parser:
         if kind == "punct" and val == "*":
             return STAR
         if kind == "punct" and val == "(":
-            items = []
-            if self.peek()[1] == ")":
-                self.next()
-                return items
-            while True:
-                items.append(self.value())
-                kind, val = self.next()
-                if val == ")":
+            self.depth += 1
+            if self.depth > _MAX_DEPTH:
+                raise StepSyntaxError(
+                    f"aggregate nesting exceeds {_MAX_DEPTH} levels")
+            try:
+                items = []
+                if self.peek()[1] == ")":
+                    self.next()
                     return items
-                if val != ",":
-                    raise StepSyntaxError(f"expected , or ) got {val!r}")
+                while True:
+                    items.append(self.value())
+                    kind, val = self.next()
+                    if val == ")":
+                        return items
+                    if val != ",":
+                        raise StepSyntaxError(
+                            f"expected , or ) got {val!r}")
+            finally:
+                self.depth -= 1
         if kind == "ident":
             # typed sub-instance NAME(args)
             name = val.upper()
@@ -1001,8 +1016,28 @@ class _Resolver:
 
 
 def read_brep(path: str) -> List[BSolid]:
-    """Parse a STEP file and resolve every MANIFOLD_SOLID_BREP."""
-    return _Resolver(parse_step_file(path)).solids()
+    """Parse a STEP file and resolve every MANIFOLD_SOLID_BREP.
+
+    This is the untrusted-input boundary (reference posture: the 5 s
+    watchdog around OCC's reader, read_step_file.py:9): a malformed
+    entity graph — dangling/retyped refs, wrong arities, degenerate
+    numbers — must surface as a typed parse error, never as a raw
+    KeyError/IndexError/etc. from resolver internals. The original
+    exception stays chained for debugging."""
+    entities = parse_step_file(path)
+    try:
+        return _Resolver(entities).solids()
+    except (UnsupportedStep, StepSyntaxError):
+        raise
+    except RecursionError as exc:
+        raise StepSyntaxError("entity graph recurses beyond the "
+                              "resolver's depth budget") from exc
+    except (KeyError, IndexError, TypeError, AttributeError, ValueError,
+            ZeroDivisionError, FloatingPointError, OverflowError,
+            np.linalg.LinAlgError) as exc:
+        raise StepSyntaxError(
+            f"malformed entity graph ({type(exc).__name__}: "
+            f"{str(exc)[:120]})") from exc
 
 
 # ---------------------------------------------------------------------------
