@@ -95,20 +95,33 @@ def _tokenize(text: str):
 #: hostile byte stream into an uncatchable RecursionError inside value()
 _MAX_DEPTH = 64
 
+#: per-aggregate element cap: the largest legitimate aggregates this
+#: subset reads are B-spline control rows / knot lists (hundreds); a
+#: flat list with 10^5+ elements is a resource-exhaustion payload, and
+#: bounding it here (on a LAZY token stream — tokens are produced on
+#: demand, so the reject lands before the tail is even lexed) keeps
+#: hostile multi-megabyte entities from burning seconds pre-rejection
+_MAX_AGG_ITEMS = 65536
+
 
 class _Parser:
     def __init__(self, tokens):
-        self.toks = list(tokens)
-        self.i = 0
+        self._toks = iter(tokens)
+        self._pushback = []
         self.depth = 0
 
     def peek(self):
-        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+        if not self._pushback:
+            self._pushback.append(next(self._toks, (None, None)))
+        return self._pushback[-1]
 
     def next(self):
-        tok = self.peek()
-        self.i += 1
-        return tok
+        if self._pushback:
+            return self._pushback.pop()
+        return next(self._toks, (None, None))
+
+    def push(self, tok):
+        self._pushback.append(tok)
 
     def expect(self, value):
         kind, val = self.next()
@@ -142,6 +155,9 @@ class _Parser:
                     return items
                 while True:
                     items.append(self.value())
+                    if len(items) > _MAX_AGG_ITEMS:
+                        raise StepSyntaxError(
+                            f"aggregate exceeds {_MAX_AGG_ITEMS} elements")
                     kind, val = self.next()
                     if val == ")":
                         return items
@@ -154,7 +170,7 @@ class _Parser:
             # typed sub-instance NAME(args)
             name = val.upper()
             self.expect("(")
-            self.i -= 1  # re-read the '(' as an aggregate
+            self.push(("punct", "("))  # re-read the '(' as an aggregate
             args = self.value()
             return Typed(name, args)
         raise StepSyntaxError(f"unexpected token {val!r}")

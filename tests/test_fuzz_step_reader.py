@@ -92,3 +92,15 @@ def test_structural_errors_wrap_to_syntax_errors(tmp_path):
         f.write(text)
     with pytest.raises(StepSyntaxError):
         read_brep(path)
+
+
+def test_aggregate_cap_is_a_syntax_error():
+    """A flat aggregate past _MAX_AGG_ITEMS rejects early on the lazy
+    token stream (bounded work even when the payload tail is megabytes)."""
+    from faceformer_tpu.tools.step21 import (
+        _MAX_AGG_ITEMS, StepSyntaxError, parse_step_text)
+
+    body = ",".join(["0."] * (_MAX_AGG_ITEMS + 2))
+    text = f"DATA;\n#1 = CARTESIAN_POINT('',({body}));\nENDSEC;"
+    with pytest.raises(StepSyntaxError, match="aggregate exceeds"):
+        parse_step_text(text)

@@ -227,3 +227,64 @@ class TestSampleStats:
                   "faces_indices": [[[(0, 0), (1, 1)], [(2, 0)]]]}
         st = sample_stats(sample, direction_token=True)
         assert st["max_face_len"] == 6
+
+
+class TestAnalyzeFamily:
+    """tools/analyze_family.py: metric contract + deterministic family
+    recovery from the generator's per-solid seed sequence."""
+
+    def test_sample_metrics_contract(self):
+        from tools.analyze_family import sample_metrics
+
+        rec = {
+            "pred_faces": [[0, [1, 2]], [2, [3]], [0, [9]]],
+            "label_faces": [[0, [2, 1]], [1, [3]], [0, [4, 5]]],
+        }
+        m = sample_metrics(rec)
+        # two pred edge-sets match labels, one of those with the right type
+        assert m["precision"] == pytest.approx(2 / 3)
+        assert m["recall"] == pytest.approx(2 / 3)
+        assert m["type_acc"] == pytest.approx(1 / 2)
+        assert not m["empty_pred"]
+        assert sample_metrics({"pred_faces": [], "label_faces": [[0, [1]]]})[
+            "empty_pred"]
+
+    def test_family_recovery_matches_generator(self, tmp_path):
+        """family_of(seed, i) names the family whose writer actually ran:
+        cross-checked against the surface signature of the emitted STEP."""
+        import re
+
+        from tools.analyze_family import KINDS, family_of
+        from tools.gen_step_solids import random_step_solid
+
+        signatures = {
+            "torus": "TOROIDAL_SURFACE",
+            "dome": "SPHERICAL_SURFACE",
+            "cone": "CONICAL_SURFACE",
+            "vase": "SURFACE_OF_REVOLUTION",
+        }
+        seen = set()
+        for i in range(40):
+            fam = family_of(99, i)
+            assert fam in KINDS
+            assert family_of(99, i) == fam  # deterministic
+            if fam in signatures and fam not in seen:
+                seen.add(fam)
+                rng = np.random.default_rng(np.random.SeedSequence([99, i]))
+                text = random_step_solid(rng, f"{i:08d}")
+                assert signatures[fam] in text, (i, fam)
+        assert seen  # the 40-draw window hits at least one signed family
+
+    def test_analyze_groups_by_family(self, tmp_path):
+        from tools.analyze_family import analyze, family_of
+
+        os.makedirs(os.path.join(tmp_path, "json"))
+        for i in range(4):
+            rec = {"pred_faces": [[0, [1]]], "label_faces": [[0, [1]]]}
+            with open(os.path.join(tmp_path, "json", f"{i:08d}.json"), "w") as f:
+                json.dump(rec, f)
+        out = analyze(str(tmp_path), seed=7)
+        assert out["samples"] == 4
+        assert out["overall"]["precision"] == 1.0
+        assert sum(v["n"] for v in out["families"].values()) == 4
+        assert set(out["families"]) == {family_of(7, i) for i in range(4)}
