@@ -288,3 +288,100 @@ class TestAnalyzeFamily:
         assert out["overall"]["precision"] == 1.0
         assert sum(v["n"] for v in out["families"].values()) == 4
         assert set(out["families"]) == {family_of(7, i) for i in range(4)}
+
+
+class TestDedupPipelineEndToEnd:
+    """The reference's dedup chain (stat yml -> topology bins -> 3-view
+    Jaccard clustering, dataset/filters/filter_{topology,3view}.py) run
+    CAD-free on a corpus seeded with exact duplicates: duplicates must
+    collapse to the smallest id while same-topology-different-shape
+    solids survive via their renders."""
+
+    @pytest.fixture(scope="class")
+    def dedup_root(self, tmp_path_factory):
+        import subprocess
+        import sys as _sys
+
+        from faceformer_tpu.tools import step21
+
+        root = tmp_path_factory.mktemp("dedup")
+        os.makedirs(root / "step")
+        solids = [
+            step21.brep_cylinder(0.7, 1.1, name="00000000"),
+            step21.brep_cylinder(0.7, 1.1, name="00000001"),  # dup of 0
+            step21.brep_cylinder(0.7, 0.25, name="00000002"),  # same topo bin
+            step21.brep_dome_block(0.6, 1.0, name="00000003"),
+            step21.brep_dome_block(0.6, 1.0, name="00000004"),  # dup of 3
+        ]
+        for i, text in enumerate(solids):
+            with open(root / "step" / f"{i:08d}.step", "w") as f:
+                f.write(text)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for extra in ([], ["--three_view"]):
+            subprocess.run(
+                [_sys.executable, os.path.join(repo, "tools", "prepare_data.py"),
+                 "--root", str(root), "--backend", "native", "--seed", "3",
+                 "--num_cores", "1"] + extra,
+                check=True, cwd=repo, capture_output=True)
+        return root
+
+    def test_stat_sidecars_written(self, dedup_root):
+        import yaml
+
+        stats = sorted(os.listdir(dedup_root / "stat"))
+        assert stats == [f"{i:08d}.yml" for i in range(5)]
+        with open(dedup_root / "stat" / "00000000.yml") as f:
+            s0 = yaml.safe_load(f)
+        with open(dedup_root / "stat" / "00000002.yml") as f:
+            s2 = yaml.safe_load(f)
+        assert s0 == s2  # same topology, different metrics
+        assert s0["surfs"].count("Cylinder") == 1
+
+    def test_duplicates_collapse_shapes_survive(self, dedup_root):
+        from faceformer_tpu.tools.filters import filter_3view, filter_topology
+
+        bins_path = str(dedup_root / "bins.json")
+        filter_topology.main(["--root", str(dedup_root), "--out", bins_path])
+        with open(bins_path) as f:
+            bins = json.load(f)
+        # cylinders share one bin, dome_blocks the other
+        assert sorted(map(sorted, bins)) == [
+            ["00000000", "00000001", "00000002"], ["00000003", "00000004"]]
+
+        kept_path = str(dedup_root / "kept.json")
+        filter_3view.main(["--root", str(dedup_root), "--bins", bins_path,
+                           "--out", kept_path])
+        with open(kept_path) as f:
+            kept = json.load(f)
+        assert kept == ["00000000", "00000002", "00000003"]
+
+
+class TestSolidStats:
+    """stats.solid_stat: tangential joins are smooth, corners sharp."""
+
+    def _stat(self, text, tmp_path):
+        from faceformer_tpu.tools import step21
+        from faceformer_tpu.tools.stats import solid_stat
+
+        path = os.path.join(tmp_path, "s.step")
+        with open(path, "w") as f:
+            f.write(text)
+        return solid_stat(step21.read_brep(path))
+
+    def test_tangential_joins_are_smooth(self, tmp_path):
+        from faceformer_tpu.tools import step21
+
+        # hemisphere cap meets its wall tangentially: only the base circle
+        # is sharp; the fillet torus of a round-top is tangent on BOTH
+        # sides (wall and top plane)
+        assert self._stat(step21.brep_dome_block(0.6, 1.0), tmp_path)["#sharp"] == 1
+        assert self._stat(
+            step21.brep_round_top_cylinder(0.7, 1.0, 0.2), tmp_path)["#sharp"] == 1
+
+    def test_corners_are_sharp(self, tmp_path):
+        from faceformer_tpu.tools import step21
+
+        s = self._stat(step21.brep_cylinder(0.7, 1.1), tmp_path)
+        assert s["#sharp"] == 2 and s["#surfs"] == 3
+        assert s["surfs"] == ["Cylinder", "Plane", "Plane"]
+        assert s["curves"].count("Circle") == 2

@@ -230,6 +230,14 @@ def render_shape_native(name: str, args) -> None:
                      width=args.width, height=args.height)
 
         run_with_camera(name, args, proj, emit)
+        # ABC ships stat/*.yml sidecars that the topology filter bins on
+        # (filter_topology.py); generated corpora must emit their own for
+        # the filter chain to run. Derived from the RAW (pre-split) B-Rep.
+        from faceformer_tpu.tools.stats import write_stat
+
+        os.makedirs(os.path.join(args.root, "stat"), exist_ok=True)
+        write_stat(path, os.path.join(args.root, "stat", f"{name}.yml"),
+                   tol=args.tol)
     except Exception as exc:
         print(f"{name} received unknown error", exc)
 
@@ -300,6 +308,68 @@ THREE_VIEW_DIRECTIONS = [
     (0.0, 0.0, 1.0),   # top
 ]
 
+#: deterministic fallback tilts for degenerate canonical views: exact
+#: axis-aligned cameras land silhouette events on seams/stations for
+#: solids of revolution, which the splitter rejects by design. Every
+#: solid retries through the SAME perturbation ladder, so near-duplicate
+#: solids still produce pixel-comparable renders for filter_3view.
+THREE_VIEW_TILTS = [
+    (0.0, 0.0, 0.0),
+    (0.017, 0.029, 0.011),
+    (-0.031, 0.013, 0.023),
+    (0.041, -0.037, 0.019),
+]
+
+
+def _render_one_native_view(name: str, args, direction, view_index) -> None:
+    """One HLR view: split curves + visibility -> SVG + PNG. Raises
+    UnsupportedStep on splitter degeneracies (caller retries tilted)."""
+    from faceformer_tpu.tools import step_native
+    from faceformer_tpu.tools.hlr_visibility import OcclusionTester, unproject
+    from faceformer_tpu.tools.occ_pipeline import ProjectionArgs
+    from faceformer_tpu.tools.svg import save_png
+
+    path = os.path.join(args.root, "step", f"{name}.step")
+    # fresh parse per view: normalization/splitting work in place
+    solid, num_shapes = step_native.load_solid(
+        path, filter_num_shapes=args.filter_num_shapes)
+    if solid is None:
+        raise _ShapeCountRejected(num_shapes)
+    step_native.normalize_solid(solid)
+    occ_args = ProjectionArgs(
+        location=(0.0, 0.0, 0.0), direction=direction,
+        focus=0.0, tol=args.tol)
+    topo = step_native.NativeTopoMapper(solid, occ_args)
+    # unique split edges with their 2D + camera-3D polylines
+    records = []
+    seen = set()
+    for face in topo.all_faces.values():
+        for erec in face.edges:
+            if erec.key in seen:
+                continue
+            seen.add(erec.key)
+            records.append((np.asarray(erec.dedge, dtype=float),
+                            np.asarray(erec.dedge3d, dtype=float)))
+    occ_solid, _ = step_native.load_solid(
+        path, filter_num_shapes=args.filter_num_shapes)
+    step_native.normalize_solid(occ_solid)
+    projector = step_native.NativeProjector(occ_args)
+    tester = OcclusionTester(occ_solid, projector, args.tol)
+    visible = []
+    for pts2d, pts3d in records:
+        world = unproject(projector, pts3d)
+        for run in tester.visible_runs(world):
+            visible.append(pts2d[run].tolist())
+    svg_path = os.path.join(args.root, "3view_svg", f"{name}-{view_index}.svg")
+    save_svg(visible, svg_path, width=args.width, height=args.height)
+    save_png(svg_path,
+             os.path.join(args.root, "3view_png", f"{name}-{view_index}.png"),
+             args.width, args.height, edges=visible)
+
+
+class _ShapeCountRejected(Exception):
+    pass
+
 
 def render_three_views_native(name: str, args) -> None:
     """CAD-free 4-view HLR render for the 3-view filter: the native
@@ -307,58 +377,30 @@ def render_three_views_native(name: str, args) -> None:
     outlines, sewn seams removed — the same compounds OCC HLR hands the
     reference, 3view_render.py:63-72) and the ray-cast occlusion tester
     keeps only the VISIBLE sub-polylines, which is what HLR's V-compounds
-    are."""
-    from faceformer_tpu.tools import step21, step_native
-    from faceformer_tpu.tools.hlr_visibility import OcclusionTester, unproject
-    from faceformer_tpu.tools.svg import save_png
+    are. Degenerate canonical views retry through THREE_VIEW_TILTS."""
+    from faceformer_tpu.tools import step_native
 
+    if all(os.path.exists(os.path.join(args.root, "3view_png",
+                                       f"{name}-{i}.png"))
+           for i in range(len(THREE_VIEW_DIRECTIONS))):
+        return  # resume-by-skip, like the reconstruction runner
     try:
-        path = os.path.join(args.root, "step", f"{name}.step")
         for i, direction in enumerate(THREE_VIEW_DIRECTIONS):
-            # fresh parse per view: normalization/splitting work in place
-            try:
-                solid, num_shapes = step_native.load_solid(
-                    path, filter_num_shapes=args.filter_num_shapes)
-            except step_native.UnsupportedStep as exc:
-                print(f"{name} is outside the native STEP subset ({exc}); "
-                      "rerun with --backend occ")
+            last_exc = None
+            for tilt in THREE_VIEW_TILTS:
+                d = np.asarray(direction, dtype=float) + np.asarray(tilt)
+                try:
+                    _render_one_native_view(name, args, tuple(d), i)
+                    last_exc = None
+                    break
+                except step_native.UnsupportedStep as exc:
+                    last_exc = exc
+            if last_exc is not None:
+                print(f"{name} is outside the native STEP subset "
+                      f"({last_exc}); rerun with --backend occ")
                 return
-            if solid is None:
-                print(f"{name} rejected: {num_shapes} shapes")
-                return
-            step_native.normalize_solid(solid)
-            from faceformer_tpu.tools.occ_pipeline import ProjectionArgs
-            proj = occ_args = ProjectionArgs(
-                location=(0.0, 0.0, 0.0), direction=direction,
-                focus=0.0, tol=args.tol)
-            topo = step_native.NativeTopoMapper(solid, proj)
-            # unique split edges with their 2D + camera-3D polylines
-            records = []
-            seen = set()
-            for face in topo.all_faces.values():
-                for erec in face.edges:
-                    if erec.key in seen:
-                        continue
-                    seen.add(erec.key)
-                    records.append((np.asarray(erec.dedge, dtype=float),
-                                    np.asarray(erec.dedge3d, dtype=float)))
-            occ_solid, _ = step_native.load_solid(
-                path, filter_num_shapes=args.filter_num_shapes)
-            step_native.normalize_solid(occ_solid)
-            projector = step_native.NativeProjector(occ_args)
-            tester = OcclusionTester(occ_solid, projector, args.tol)
-            visible = []
-            for pts2d, pts3d in records:
-                world = unproject(projector, pts3d)
-                for run in tester.visible_runs(world):
-                    visible.append(pts2d[run].tolist())
-            svg_path = os.path.join(args.root, "3view_svg",
-                                    f"{name}-{i}.svg")
-            save_svg(visible, svg_path, width=args.width,
-                     height=args.height)
-            save_png(svg_path,
-                     os.path.join(args.root, "3view_png", f"{name}-{i}.png"),
-                     args.width, args.height, edges=visible)
+    except _ShapeCountRejected as exc:
+        print(f"{name} rejected: {exc.args[0]} shapes")
     except Exception as exc:
         print(f"{name} 3view failed", exc)
 
