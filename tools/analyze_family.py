@@ -24,18 +24,21 @@ import os
 
 import numpy as np
 
-# Mirror of the family draw in tools/gen_step_solids.py::random_step_solid —
-# the first rng.choice a solid's dedicated generator makes. Keep in sync.
-KINDS = ["extrusion", "holes", "cylinder", "frustum",
-         "dome", "dome_block", "torus", "round_top", "spline",
-         "cone", "vase", "composite", "pillow", "nurbs_cyl"]
-PROBS = [0.13, 0.12, 0.07, 0.07, 0.06, 0.06,
-         0.05, 0.05, 0.07, 0.04, 0.06, 0.14, 0.05, 0.03]
+# The family draw is the FIRST rng.choice a solid's dedicated generator
+# makes (gen_step_solids.py::random_step_solid), so re-drawing with the
+# same per-solid SeedSequence — and the same --weights, if the corpus
+# was reweighted — reproduces it exactly.
+try:  # script use (tools/ on sys.path) or package-style import
+    from gen_step_solids import (  # noqa: E402
+        FAMILIES as KINDS, FAMILY_PROBS as PROBS, parse_weights)
+except ImportError:  # pragma: no cover - test-suite import path
+    from tools.gen_step_solids import (  # noqa: E402
+        FAMILIES as KINDS, FAMILY_PROBS as PROBS, parse_weights)
 
 
-def family_of(seed: int, index: int) -> str:
+def family_of(seed: int, index: int, probs=None) -> str:
     rng = np.random.default_rng(np.random.SeedSequence([seed, index]))
-    return str(rng.choice(KINDS, p=PROBS))
+    return str(rng.choice(KINDS, p=PROBS if probs is None else probs))
 
 
 def sample_metrics(rec: dict) -> dict:
@@ -58,7 +61,7 @@ def sample_metrics(rec: dict) -> dict:
     }
 
 
-def analyze(run_dir: str, seed: int) -> dict:
+def analyze(run_dir: str, seed: int, probs=None) -> dict:
     rows = {}
     paths = sorted(glob.glob(os.path.join(run_dir, "json", "*.json")))
     per_sample = []
@@ -67,7 +70,7 @@ def analyze(run_dir: str, seed: int) -> dict:
         with open(path) as f:
             rec = json.load(f)
         m = sample_metrics(rec)
-        m["family"] = family_of(seed, idx)
+        m["family"] = family_of(seed, idx, probs=probs)
         m["id"] = f"{idx:08d}"
         per_sample.append(m)
     for m in per_sample:
@@ -99,9 +102,12 @@ def main(argv=None) -> None:
     parser.add_argument("runs", nargs="+", help="log dirs containing json/")
     parser.add_argument("--seed", type=int, default=5,
                         help="gen_step_solids.py --seed of the corpus")
+    parser.add_argument("--weights", type=str, default="",
+                        help="gen_step_solids.py --weights of the corpus")
     parser.add_argument("--json", type=str, default=None)
     args = parser.parse_args(argv)
-    results = [analyze(run, args.seed) for run in args.runs]
+    probs = parse_weights(args.weights) if args.weights else None
+    results = [analyze(run, args.seed, probs=probs) for run in args.runs]
     for res in results:
         print(json.dumps(res, indent=1))
     if args.json:

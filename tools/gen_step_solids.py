@@ -109,12 +109,16 @@ def random_composite(rng: np.random.Generator, name: str) -> str:
                                  thick / 2, name=name)
 
 
-def random_step_solid(rng: np.random.Generator, name: str) -> str:
-    kind = rng.choice(["extrusion", "holes", "cylinder", "frustum",
-                       "dome", "dome_block", "torus", "round_top", "spline",
-                       "cone", "vase", "composite", "pillow", "nurbs_cyl"],
-                      p=[0.13, 0.12, 0.07, 0.07, 0.06, 0.06,
-                         0.05, 0.05, 0.07, 0.04, 0.06, 0.14, 0.05, 0.03])
+FAMILIES = ["extrusion", "holes", "cylinder", "frustum",
+            "dome", "dome_block", "torus", "round_top", "spline",
+            "cone", "vase", "composite", "pillow", "nurbs_cyl"]
+FAMILY_PROBS = [0.13, 0.12, 0.07, 0.07, 0.06, 0.06,
+                0.05, 0.05, 0.07, 0.04, 0.06, 0.14, 0.05, 0.03]
+
+
+def random_step_solid(rng: np.random.Generator, name: str,
+                      probs=None) -> str:
+    kind = rng.choice(FAMILIES, p=FAMILY_PROBS if probs is None else probs)
     h = float(rng.uniform(0.4, 1.2))
     if kind == "composite":
         return random_composite(rng, name)
@@ -180,19 +184,38 @@ def random_step_solid(rng: np.random.Generator, name: str) -> str:
     return step21.brep_extrusion(poly, -h / 2, h / 2, holes=holes, name=name)
 
 
+def parse_weights(spec: str) -> list:
+    """``name=w,name=w`` multiplies those families' draw probabilities by
+    w before renormalizing — e.g. ``torus=4,cone=4,vase=3`` oversamples
+    the families a quality breakdown shows the model under-learns."""
+    probs = list(FAMILY_PROBS)
+    for part in spec.split(","):
+        if not part.strip():
+            continue
+        name, _, w = part.partition("=")
+        if name.strip() not in FAMILIES:
+            raise SystemExit(f"unknown family {name!r}; one of {FAMILIES}")
+        probs[FAMILIES.index(name.strip())] *= float(w)
+    total = sum(probs)
+    return [p / total for p in probs]
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--root", type=str, default="./data_step")
     parser.add_argument("--num", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--weights", type=str, default="",
+                        help="family=multiplier,... reweights draw probs")
     args = parser.parse_args()
 
+    probs = parse_weights(args.weights) if args.weights else None
     out = os.path.join(args.root, "step")
     os.makedirs(out, exist_ok=True)
     for i in range(args.num):
         rng = np.random.default_rng(np.random.SeedSequence([args.seed, i]))
         name = f"{i:08d}"
-        text = random_step_solid(rng, name)
+        text = random_step_solid(rng, name, probs=probs)
         with open(os.path.join(out, f"{name}.step"), "w") as f:
             f.write(text)
     print(f"wrote {args.num} STEP solids under {out}")
