@@ -56,6 +56,16 @@ def main() -> None:
           + f"{results['num_samples']}", flush=True)
     print(f"WORKER_OK proc={proc_id} global_devices={jax.device_count()}",
           flush=True)
+    if int(nprocs) > 1:
+        # the atexit shutdown barrier has a short deadline; the writer
+        # process (proc 0) trails the others by its checkpoint/log tail,
+        # which under host load can exceed it and fail the whole run with
+        # DEADLINE_EXCEEDED. Sync on the (deadline-free) collective path
+        # first so every process enters the shutdown barrier together.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("worker_done")
+        jax.distributed.shutdown()
 
 
 if __name__ == "__main__":
